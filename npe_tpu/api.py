@@ -1,0 +1,95 @@
+"""Plat-style inference API -- the 5-method contract the NPE consumes
+(reference `API.py`, adopted from dribnet/plat).
+
+Differences from the reference, by design:
+  * Each method is ONE jitted XLA program compiled once per shape. The brush
+    rectangle (c1, r1, c2, r2) is a *runtime* argument -- patch means are
+    computed with an iota-built mask instead of dynamic slicing, so moving or
+    resizing the brush never recompiles (the reference compiled Theano
+    functions with symbolic int slices, `API.py:54-64`).
+  * Image tensors cross this boundary in the reference's NCHW float32 [-1,1]
+    layout; internally everything is NHWC for the TPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npe_tpu.models import get_config
+from npe_tpu.models.common import split_trainable  # noqa: F401  (re-export)
+from npe_tpu.utils import checkpoints
+
+
+def patch_mask(h, w, c1, r1, c2, r2, dtype=jnp.float32):
+    """(h, w) mask of the half-open box [r1, r2) x [c1, c2); traceable."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    m = (rows >= r1) & (rows < r2) & (cols >= c1) & (cols < c2)
+    return m.astype(dtype)
+
+
+class IAN:
+    """Generic class for using IAN-style models with the NPE
+    (reference `API.py:11-110`)."""
+
+    def __init__(self, config_path="IAN_simple", variables=None, weights_path=None, seed=42):
+        self.module = get_config(config_path)
+        self.cfg = self.module.cfg
+        if variables is None:
+            variables = self.module.init(jax.random.PRNGKey(seed))
+        if weights_path is not None:
+            checkpoints.load_weights(weights_path, variables)
+        self.variables = variables
+        mod = self.module
+
+        @jax.jit
+        def _encode(v, x_nchw):
+            return mod.encode(v, jnp.transpose(x_nchw, (0, 2, 3, 1)))
+
+        @jax.jit
+        def _decode(v, z):
+            return jnp.transpose(mod.decode(v, z), (0, 3, 1, 2))
+
+        def _lighten_loss(z, v, c1, r1, c2, r2):
+            xh = mod.decode(v, z)  # (1, H, W, C)
+            m = patch_mask(xh.shape[1], xh.shape[2], c1, r1, c2, r2, xh.dtype)
+            # mean of X_hat[0, :, r1:r2, c1:c2] (reference `API.py:59`)
+            return jnp.sum(xh[0] * m[:, :, None]) / (jnp.sum(m) * xh.shape[3])
+
+        def _rgb_loss(z, v, c1, r1, c2, r2, rgb_nchw):
+            xh = mod.decode(v, z)
+            m = patch_mask(xh.shape[1], xh.shape[2], c1, r1, c2, r2, xh.dtype)
+            rgb = jnp.transpose(rgb_nchw, (0, 2, 3, 1))
+            # mean((RGB - X_hat)^2 over the patch) (reference `API.py:64`)
+            se = (rgb[0] - xh[0]) ** 2
+            return jnp.sum(se * m[:, :, None]) / (jnp.sum(m) * xh.shape[3])
+
+        self._imgrad = jax.jit(jax.grad(_lighten_loss))
+        self._imgrad_rgb = jax.jit(jax.grad(_rgb_loss))
+        self._encode_fn = _encode
+        self._decode_fn = _decode
+
+    # --- plat contract -----------------------------------------------------
+
+    def encode_images(self, images):
+        """images: (n, 3, s, s) in [-1, 1] -> (n, zdim)."""
+        return np.asarray(self._encode_fn(self.variables, jnp.asarray(images)))
+
+    def sample_at(self, z):
+        """z: (n, zdim) -> images (n, 3, s, s) in [-1, 1]."""
+        return np.asarray(self._decode_fn(self.variables, jnp.asarray(z)))
+
+    def imgrad(self, c1, r1, c2, r2, z):
+        """dZ that lightens the local patch (reference `API.py:66-70`)."""
+        return np.asarray(self._imgrad(jnp.asarray(z), self.variables, c1, r1, c2, r2))
+
+    def imgradRGB(self, c1, r1, c2, r2, RGB, z):
+        """dZ that moves the local patch toward RGB (reference `API.py:72-76`)."""
+        return np.asarray(
+            self._imgrad_rgb(jnp.asarray(z), self.variables, c1, r1, c2, r2, jnp.asarray(RGB))
+        )
+
+    def get_zdim(self):
+        return self.cfg["num_latents"]

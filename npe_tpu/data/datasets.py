@@ -1,0 +1,95 @@
+"""Data pipeline.
+
+The reference streams CelebA 64x64 through Fuel HDF5 (`train_IAN.py:357-374`,
+`:415,441`) and loads a validation .npz for the editor (`NPE.py:44`). Neither
+artifact ships with the reference mount (SURVEY.md global facts), so this
+module provides:
+
+  * `NpzImageDataset` -- any (N, 3, 64, 64) uint8 .npz (e.g. a converted
+    CelebA, or the editor's CelebAValid.npz);
+  * `SyntheticFaces`  -- a deterministic procedural face-like dataset
+    (colored blobs on gradients) so training / tests / benchmarks run
+    hermetically;
+  * `data_loader`     -- the reference's chunked generator contract: yields
+    float32 chunks of batch_size*batches_per_chunk images in [-1, 1], with
+    per-epoch seeded shuffling and the alternating half-batch offset trick
+    (`train_IAN.py:436-443`).
+"""
+
+import numpy as np
+
+from npe_tpu.utils.ranges import to_tanh
+
+
+class SyntheticFaces:
+    """Deterministic procedural 64x64 'faces': an oval skin blob, two eyes,
+    a mouth, on a colored background. Enough structure for an autoencoder
+    to learn, fully hermetic, seeded per index."""
+
+    def __init__(self, num_examples=4096, size=64, seed=7):
+        self.num_examples = num_examples
+        self.size = size
+        self.seed = seed
+
+    def _one(self, idx):
+        rng = np.random.RandomState(self.seed * 1000003 + idx)
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        img = np.zeros((3, s, s), np.float32)
+        # background gradient
+        bg = rng.rand(3, 2).astype(np.float32)
+        for c in range(3):
+            img[c] = bg[c, 0] * (1 - yy) + bg[c, 1] * yy
+        # face oval
+        cx, cy = 0.5 + 0.1 * (rng.rand() - 0.5), 0.5 + 0.1 * (rng.rand() - 0.5)
+        rx, ry = 0.28 + 0.08 * rng.rand(), 0.36 + 0.08 * rng.rand()
+        oval = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 < 1.0
+        skin = 0.55 + 0.3 * rng.rand(3).astype(np.float32)
+        skin[2] *= 0.8
+        for c in range(3):
+            img[c] = np.where(oval, skin[c], img[c])
+        # eyes
+        for ex in (cx - 0.12, cx + 0.12):
+            eye = ((xx - ex) / 0.045) ** 2 + ((yy - (cy - 0.08)) / 0.03) ** 2 < 1.0
+            for c in range(3):
+                img[c] = np.where(eye, 0.1 + 0.1 * rng.rand(), img[c])
+        # mouth
+        mouth = ((xx - cx) / 0.12) ** 2 + ((yy - (cy + 0.18)) / 0.035) ** 2 < 1.0
+        img[0] = np.where(mouth, 0.6 + 0.3 * rng.rand(), img[0])
+        img[1] = np.where(mouth, 0.2, img[1])
+        img[2] = np.where(mouth, 0.25, img[2])
+        return np.uint8(np.clip(img * 255, 0, 255))
+
+    def get_data(self, indices):
+        return np.stack([self._one(int(i)) for i in indices])
+
+
+class NpzImageDataset:
+    """(N, 3, H, W) uint8 images from an .npz (key 'arr_0', like the
+    reference's CelebAValid.npz, `NPE.py:44`)."""
+
+    def __init__(self, path, key="arr_0"):
+        self._data = np.load(path)[key]
+        self.num_examples = len(self._data)
+
+    def get_data(self, indices):
+        return self._data[np.asarray(indices)]
+
+
+def data_loader(cfg, dataset, offset=0, shuffle=False, seed=42):
+    """Chunk generator (reference `train_IAN.py:357-374`): yields
+    to_tanh(float32) arrays of shape (chunk, 3, 64, 64)."""
+    chunk_size = cfg["batch_size"] * cfg["batches_per_chunk"]
+    rng = np.random.RandomState(seed)
+    n = dataset.num_examples - offset
+    index = rng.permutation(n) if shuffle else np.arange(n)
+    for i in range(dataset.num_examples // chunk_size):
+        sel = index[chunk_size * i : chunk_size * (i + 1)] + offset
+        yield to_tanh(np.float32(dataset.get_data(sel)))
+
+
+def get_dataset(spec, num_examples=4096):
+    """'synthetic' or a path to an .npz."""
+    if spec in (None, "synthetic"):
+        return SyntheticFaces(num_examples=num_examples)
+    return NpzImageDataset(spec)

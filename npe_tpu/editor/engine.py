@@ -1,0 +1,236 @@
+"""Headless Neural Photo Editor engine.
+
+The reference editor keeps its state in module-level globals mutated by Tk
+callbacks (`NPE.py:44-104,192-345`). Here the whole edit engine is a
+GUI-free `EditSession` so the editor is integration-testable (SURVEY.md
+section 4), and any frontend (Tk, web, tests) is a thin shell over it.
+
+TPU-first hot loop: one brush event in the reference costs two GPU round
+trips plus a host-side scipy blur (`NPE.py:192-235`). Here the entire
+propagation -- patch-RGB gradient -> latent step -> decode -> Gaussian mask
+-> composite -- is ONE jitted XLA program (`_paint_step`); the only
+host<->device traffic per event is the scalar brush box in and the final
+64x64x3 frame out. Latent state stays on-device between events.
+
+Image convention at the session boundary: CHW float32 in [-1, 1] (tanh
+range), like the model API. `*_uint8()` helpers convert for display.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npe_tpu.api import patch_mask
+from npe_tpu.models import get_config
+from npe_tpu.ops.filters import gaussian_blur_2d
+from npe_tpu.utils.ranges import from_tanh, to_tanh
+
+# Gradient-descent step size for brush strokes (`NPE.py:199`).
+PAINT_WEIGHT = 0.05
+# Scroll (lighten/darken) step size (`NPE.py:309`).
+SCROLL_WEIGHT = 0.1
+# Mask blur sigma (`NPE.py:224`).
+MASK_SIGMA = 0.7
+
+
+def _mask_and_composite(xh_hwc, recon_hwc, error_hwc):
+    """DELTA/MASK/composite math per `NPE.py:218-231`:
+    DELTA = decode(Z) - RECON;
+    MASK  = gaussian_blur(min(mean(|DELTA|, channels), 1), 0.7);
+    IM    = RECON + MASK*DELTA + (1-MASK)*ERROR."""
+    delta = xh_hwc - recon_hwc
+    m = jnp.minimum(jnp.mean(jnp.abs(delta), axis=-1), 1.0)
+    mask = gaussian_blur_2d(m, MASK_SIGMA)[:, :, None]
+    im = recon_hwc + mask * delta + (1.0 - mask) * error_hwc
+    return im, delta, mask[:, :, 0]
+
+
+class EditSession:
+    def __init__(self, config="IAN_simple", variables=None, weights_path=None, dim=(10, 10), seed=42):
+        self.module = get_config(config)
+        if variables is None:
+            variables = self.module.init(jax.random.PRNGKey(seed))
+        if weights_path is not None:
+            from npe_tpu.utils import checkpoints
+
+            checkpoints.load_weights(weights_path, variables)
+        self.variables = variables
+        self.dim = tuple(dim)
+        zdim = self.module.cfg["num_latents"]
+        assert self.dim[0] * self.dim[1] == zdim
+        mod = self.module
+
+        def _decode_hwc(v, z_flat):
+            return mod.decode(v, z_flat[None])[0]  # (H, W, C)
+
+        def _rgb_patch_loss(z_flat, v, c1, r1, c2, r2, rgb_hwc):
+            xh = _decode_hwc(v, z_flat)
+            m = patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, xh.dtype)
+            se = (rgb_hwc - xh) ** 2
+            return jnp.sum(se * m[:, :, None]) / (jnp.sum(m) * xh.shape[2])
+
+        def _lighten_patch_loss(z_flat, v, c1, r1, c2, r2):
+            xh = _decode_hwc(v, z_flat)
+            m = patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, xh.dtype)
+            return jnp.sum(xh * m[:, :, None]) / (jnp.sum(m) * xh.shape[2])
+
+        @jax.jit
+        def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, composite):
+            """Full stroke propagation (`NPE.py:192-235`) as one program.
+            composite=False reproduces the SAMPLE_FLAG path (latent update +
+            decode only)."""
+            g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, rgb_hwc)
+            z2 = z - PAINT_WEIGHT * g * (1.0 + (c2 - c1))
+            xh = _decode_hwc(v, z2)
+            im, delta, mask = _mask_and_composite(xh, recon, error)
+            im = jnp.where(composite, im, xh)
+            return z2, im, xh, delta, mask
+
+        @jax.jit
+        def _scroll_step(v, z, c1, r1, c2, r2, direction):
+            """Lighten/darken patch via gradient ascent (`NPE.py:305-314`)."""
+            g = jax.grad(_lighten_patch_loss)(z, v, c1, r1, c2, r2)
+            z2 = z + direction * SCROLL_WEIGHT * g * (1.0 + (c2 - c1))
+            return z2, _decode_hwc(v, z2)
+
+        @jax.jit
+        def _composite_step(v, z, recon, error, composite):
+            xh = _decode_hwc(v, z)
+            im, delta, mask = _mask_and_composite(xh, recon, error)
+            im = jnp.where(composite, im, xh)
+            return im, xh
+
+        @jax.jit
+        def _encode(v, x_hwc):
+            return mod.encode(v, x_hwc[None])[0]
+
+        self._paint_fn = _paint_step
+        self._scroll_fn = _scroll_step
+        self._composite_fn = _composite_step
+        self._encode_fn = _encode
+        self._decode_fn = jax.jit(_decode_hwc)
+
+        h, w = self.module.cfg["dims"]
+        self.sample_flag = False
+        self.Z = jnp.zeros(zdim)
+        self._gim = np.zeros((3, h, w), np.float32)  # ground truth, CHW tanh
+        self.IM = self._gim.copy()
+        self._recon = jnp.zeros((h, w, 3))
+        self._error = jnp.zeros((h, w, 3))
+        self.DELTA = np.zeros((3, h, w), np.float32)
+        self.USER_MASK = np.zeros((h, w), np.float32)
+
+    # --- helpers ------------------------------------------------------------
+
+    @property
+    def GIM(self):
+        return self._gim
+
+    @property
+    def RECON(self):
+        return np.asarray(self._recon).transpose(2, 0, 1)
+
+    @property
+    def ERROR(self):
+        return np.asarray(self._error).transpose(2, 0, 1)
+
+    @property
+    def Z_grid(self):
+        return np.asarray(self.Z).reshape(self.dim)
+
+    def im_uint8(self):
+        return np.uint8(np.clip(from_tanh(self.IM), 0, 255))
+
+    @staticmethod
+    def _quantize_tanh(xh_hwc):
+        """Reference RECON passes through uint8 (`NPE.py:261`): quantize to
+        the uint8 grid but stay in tanh units."""
+        return to_tanh(np.float32(np.uint8(np.clip(from_tanh(np.asarray(xh_hwc)), 0, 255))))
+
+    # --- operations (reference `NPE.py` callbacks) ---------------------------
+
+    def infer(self, image_chw_tanh):
+        """Load a ground-truth image, encode, reconstruct (`NPE.py:239-274`)."""
+        self._gim = np.float32(image_chw_tanh)
+        self.IM = self._gim.copy()
+        x_hwc = jnp.asarray(self._gim.transpose(1, 2, 0))
+        self.Z = self._encode_fn(self.variables, x_hwc)
+        xh = self._decode_fn(self.variables, self.Z)
+        self._recon = jnp.asarray(self._quantize_tanh(xh))
+        self._error = x_hwc - self._recon
+        self.DELTA = np.zeros_like(self._gim)
+        self.USER_MASK *= 0
+        self.sample_flag = False
+        return self.IM
+
+    def reset(self):
+        """Re-encode the ground truth (`NPE.py:330-340`)."""
+        return self.infer(self._gim)
+
+    def update_gim(self):
+        """Promote the current image to ground truth (`NPE.py:342-345`)."""
+        self._gim = np.float32(self.IM)
+        return self.reset()
+
+    def sample(self, key_or_seed=0):
+        """Z ~ N(0,1), decode (`NPE.py:317-327`)."""
+        key = (
+            jax.random.PRNGKey(key_or_seed)
+            if isinstance(key_or_seed, int)
+            else key_or_seed
+        )
+        self.Z = jax.random.normal(key, self.Z.shape)
+        xh = self._decode_fn(self.variables, self.Z)
+        self._recon = jnp.asarray(self._quantize_tanh(xh))
+        self._error = jnp.asarray(self.IM.transpose(1, 2, 0)) - self._recon
+        self.sample_flag = True
+        self.IM = np.asarray(xh).transpose(2, 0, 1)
+        return self.IM
+
+    def paint_stroke(self, x1, y1, x2, y2, rgb):
+        """One brush event (`NPE.py:192-235`). rgb: length-3 iterable in
+        [0, 255] (the color picker's output, `NPE.py:353-359`). The box is
+        [y1, y2) rows x [x1, x2) cols in 64-space."""
+        rgb_hwc = jnp.broadcast_to(
+            jnp.asarray(to_tanh(np.float32(rgb))), self._recon.shape
+        )
+        z2, im, xh, delta, mask = self._paint_fn(
+            self.variables,
+            self.Z,
+            x1,
+            y1,
+            x2,
+            y2,
+            rgb_hwc,
+            self._recon,
+            self._error,
+            not self.sample_flag,
+        )
+        self.Z = z2
+        self.IM = np.asarray(im).transpose(2, 0, 1)
+        self.DELTA = np.asarray(xh - self._recon).transpose(2, 0, 1)
+        return self.IM
+
+    def scroll_patch(self, x1, y1, x2, y2, direction):
+        """Mouse-wheel lighten/darken (`NPE.py:305-314`)."""
+        z2, xh = self._scroll_fn(
+            self.variables, self.Z, x1, y1, x2, y2, float(np.sign(direction))
+        )
+        self.Z = z2
+        self.IM = np.asarray(xh).transpose(2, 0, 1)
+        return self.IM
+
+    def set_latents(self, z_grid):
+        """Direct latent painting (`NPE.py:277-302`): caller supplies the
+        pooled latent grid; we re-composite."""
+        self.Z = jnp.asarray(np.float32(z_grid).reshape(-1))
+        im, xh = self._composite_fn(
+            self.variables, self.Z, self._recon, self._error, not self.sample_flag
+        )
+        self.IM = np.asarray(im).transpose(2, 0, 1)
+        return self.IM
+
+    def decode_current(self):
+        return np.asarray(self._decode_fn(self.variables, self.Z)).transpose(2, 0, 1)

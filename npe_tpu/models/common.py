@@ -1,0 +1,183 @@
+"""Shared model-building blocks for the IAN family.
+
+All three reference configs share the same encoder tower: four stride-2 5x5
+convs 128/256/512/1024 with LeakyReLU(0.2), batch norm from conv2 on, a
+1000-unit FC, and 100-dim batchnormed mu / logsigma heads (reference
+`IAN_simple.py:73-126`, `IAN.py:71-125`, `IANv1.py` same). The discriminator
+IS the encoder: GlobalPool(conv4) -> MinibatchLayer(500) -> Dense
+(`IAN_simple.py:225-231`), so encoder features serve VAE inference,
+adversarial discrimination and the introspective feature-matching loss.
+
+Parameter naming mirrors the reference checkpoints (Lasagne layer names) so
+`utils/convert.py` can port Theano .npz weights 1:1. Non-trainable state
+(BN running stats, MADE masks) lives in the same flat dict, distinguished by
+name suffix -- exactly the reference's convention (`train_IAN.py:419-422`).
+
+Variables dicts are pytrees; every apply function is pure and returns
+(output, updates) where updates holds new BN running stats in train mode.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from npe_tpu.ops.activations import elu, lrelu, relu
+from npe_tpu.ops.conv import conv2d, deconv2d, global_avg_pool
+from npe_tpu.ops.initializers import normal
+from npe_tpu.ops.linear import dense
+from npe_tpu.ops.minibatch import minibatch_discrimination
+from npe_tpu.ops.norm import batch_norm_apply
+
+NON_TRAINABLE_SUFFIXES = (".mean", ".inv_std", ".weights_mask")
+
+
+def is_trainable(name):
+    return not name.endswith(NON_TRAINABLE_SUFFIXES)
+
+
+def split_trainable(variables):
+    params = {k: v for k, v in variables.items() if is_trainable(k)}
+    state = {k: v for k, v in variables.items() if not is_trainable(k)}
+    return params, state
+
+
+class VarBuilder:
+    """Init-time helper: owns a PRNG key chain and the flat variables dict."""
+
+    def __init__(self, key):
+        self._key = key
+        self.v = {}
+
+    def key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def conv(self, name, cin, cout, ksize=5, std=0.02, bias=True):
+        self.v[f"{name}.W"] = normal(std)(self.key(), (ksize, ksize, cin, cout))
+        if bias:
+            self.v[f"{name}.b"] = jnp.zeros(cout)
+
+    def deconv(self, name, cin, cout, ksize=5, std=0.02, bias=True):
+        # Stored (kh, kw, cin, cout); reference layout (cin, cout, kh, kw).
+        self.v[f"{name}.W"] = normal(std)(self.key(), (ksize, ksize, cin, cout))
+        if bias:
+            self.v[f"{name}.b"] = jnp.zeros(cout)
+
+    def dense(self, name, nin, nout, std=0.02, bias=True):
+        self.v[f"{name}.W"] = normal(std)(self.key(), (nin, nout))
+        if bias:
+            self.v[f"{name}.b"] = jnp.zeros(nout)
+
+    def bn(self, name, c):
+        self.v[f"{name}.beta"] = jnp.zeros(c)
+        self.v[f"{name}.gamma"] = jnp.ones(c)
+        self.v[f"{name}.mean"] = jnp.zeros(c)
+        self.v[f"{name}.inv_std"] = jnp.ones(c)
+
+    def mdcl(self, name, cin, cout, scales, std=0.02):
+        # Reference `layers.py:207-258`: shared 3x3 W + per-branch coeffs
+        # initialized to 1/(1+len(scales)).
+        c0 = 1.0 / (1 + len(scales))
+        self.v[f"{name}W"] = normal(std)(self.key(), (3, 3, cin, cout))
+        self.v[f"{name}_coeff_base"] = jnp.full(cout, c0)
+        for s in scales:
+            suffix = "1x1" if s == 0 else str(s)
+            self.v[f"{name}_coeff_{suffix}"] = jnp.full(cout, c0)
+
+    def minibatch(self, name, nin, num_kernels=500, dim_per_kernel=5):
+        self.v[f"{name}.theta"] = normal(0.05)(self.key(), (nin, num_kernels, dim_per_kernel))
+        self.v[f"{name}.log_weight_scale"] = jnp.zeros((num_kernels, dim_per_kernel))
+        self.v[f"{name}.b"] = jnp.full(num_kernels, -1.0)
+
+
+def bn(v, upd, name, x, train):
+    y, (m, s) = batch_norm_apply(
+        x, v[f"{name}.beta"], v[f"{name}.gamma"], v[f"{name}.mean"], v[f"{name}.inv_std"], train
+    )
+    if train and upd is not None:
+        upd[f"{name}.mean"] = m
+        upd[f"{name}.inv_std"] = s
+    return y
+
+
+def mdcl(v, name, x, scales):
+    from npe_tpu.ops.mdcl import mdcl_apply
+
+    coeffs = {}
+    for s in scales:
+        suffix = "1x1" if s == 0 else str(s)
+        coeffs[s] = v[f"{name}_coeff_{suffix}"]
+    return mdcl_apply(x, v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
+
+
+def mdblock(v, upd, name, x, scales, act, train):
+    """MDBLOCK (reference `layers.py:411-416`): pre-activation residual
+    nl(BN2(x + MDCL2(nl(BN1(MDCL1(nl(BN0(x))))))))."""
+    h = act(bn(v, upd, f"{name}bnorm0", x, train))
+    h = mdcl(v, name, h, scales)
+    h = act(bn(v, upd, f"{name}bnorm1", h, train))
+    h = mdcl(v, f"{name}2", h, scales)
+    return act(bn(v, upd, f"{name}bnorm2", x + h, train))
+
+
+def init_encoder(vb, num_latents, in_channels=3):
+    """Shared encoder + discriminator head parameters."""
+    vb.conv("enc_conv1", in_channels, 128, bias=True)
+    vb.conv("enc_conv2", 128, 256, bias=False)
+    vb.bn("bnorm2", 256)
+    vb.conv("enc_conv3", 256, 512, bias=False)
+    vb.bn("bnorm3", 512)
+    vb.conv("enc_conv4", 512, 1024, bias=False)
+    vb.bn("bnorm4", 1024)
+    vb.dense("enc_fc1", 1024 * 4 * 4, 1000, bias=False)
+    vb.bn("bnorm_enc_fc1", 1000)
+    vb.dense("enc_mu", 1000, num_latents, bias=False)
+    vb.bn("mu_bnorm", num_latents)
+    vb.dense("enc_logsigma", 1000, num_latents, bias=False)
+    vb.bn("ls_bnorm", num_latents)
+
+
+def init_discrim(vb, n_units, w_std):
+    vb.minibatch("minibatch_discrim", 1024, 500, 5)
+    vb.dense("discrimi", 1024 + 500, n_units, std=w_std, bias=False)
+
+
+LRELU = lrelu(0.2)
+
+
+def apply_backbone(v, x, train, upd):
+    """Encoder conv tower -> the four introspection feature maps
+    (reference `l_introspect = [enc_conv1..4]`, `IAN_simple.py:240`).
+    x: (N, 64, 64, 3) NHWC in [-1, 1]."""
+    c1 = LRELU(conv2d(x, v["enc_conv1.W"], stride=2, padding=2, b=v["enc_conv1.b"]))
+    c2 = LRELU(bn(v, upd, "bnorm2", conv2d(c1, v["enc_conv2.W"], stride=2, padding=2), train))
+    c3 = LRELU(bn(v, upd, "bnorm3", conv2d(c2, v["enc_conv3.W"], stride=2, padding=2), train))
+    c4 = LRELU(bn(v, upd, "bnorm4", conv2d(c3, v["enc_conv4.W"], stride=2, padding=2), train))
+    return c1, c2, c3, c4
+
+
+def apply_latent_heads(v, c4, train, upd):
+    """conv4 -> fc1 -> batchnormed (mu, logsigma)."""
+    f = elu(bn(v, upd, "bnorm_enc_fc1", dense(c4, v["enc_fc1.W"]), train))
+    mu = bn(v, upd, "mu_bnorm", dense(f, v["enc_mu.W"]), train)
+    ls = bn(v, upd, "ls_bnorm", dense(f, v["enc_logsigma.W"]), train)
+    return mu, ls
+
+
+def apply_discrim_head(v, c4):
+    """GlobalPool -> minibatch discrimination -> dense LOGITS (the reference
+    applies sigmoid/softmax in-layer; callers here apply it, keeping the
+    training losses numerically stable)."""
+    pooled = global_avg_pool(c4)
+    f = minibatch_discrimination(
+        pooled,
+        v["minibatch_discrim.theta"],
+        v["minibatch_discrim.log_weight_scale"],
+        v["minibatch_discrim.b"],
+    )
+    return dense(f, v["discrimi.W"])
+
+
+def unflatten_nchw(y, c, h, w):
+    """Lasagne ReshapeLayer([0], C, H, W) semantics on an NHWC pipeline:
+    reshape C-order then put channels last."""
+    return y.reshape(y.shape[0], c, h, w).transpose(0, 2, 3, 1)

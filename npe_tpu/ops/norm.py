@@ -1,0 +1,71 @@
+"""Batch normalization with explicit running-statistics state.
+
+The reference uses Lasagne's `batch_norm` wrapper (e.g. `IAN_simple.py:84-94`)
+which (a) drops the wrapped layer's bias, (b) normalizes the *pre-activation*
+output, (c) applies the nonlinearity afterwards, and keeps running `mean` and
+`inv_std` buffers updated by Theano `default_update` side effects
+(`layers.py:111-128`). Here state is explicit: apply functions return the
+updated running stats and the training step threads them functionally.
+
+Conventions kept for checkpoint parity: Lasagne stores `inv_std` (not var),
+epsilon=1e-4, alpha=0.1 exponential moving average.
+
+`batch_renorm_apply` implements Batch ReNormalization (arXiv 1702.03275),
+reference `BatchReNormDNNLayer` (`layers.py:48-130`): the r/d corrections are
+computed from running stats with RMAX/DMAX clips managed by the caller, and
+gradients do NOT flow through r and d (they are corrections, per the paper).
+"""
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-4
+ALPHA = 0.1
+
+
+def _reduce_axes(x):
+    # Normalize over all but the channel axis (last in NHWC / NC).
+    return tuple(range(x.ndim - 1))
+
+
+def batch_norm_apply(x, beta, gamma, mean, inv_std, train):
+    """Returns (y, (new_mean, new_inv_std)).
+
+    train=True: normalize with batch statistics, EMA-update running stats.
+    train=False: normalize with running stats, pass stats through unchanged.
+    """
+    if train:
+        axes = _reduce_axes(x)
+        mu = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        istd = jax.lax.rsqrt(var + EPS)
+        y = (x - mu) * (gamma * istd) + beta
+        new_mean = (1 - ALPHA) * mean + ALPHA * mu
+        new_inv_std = (1 - ALPHA) * inv_std + ALPHA * istd
+        return y, (new_mean, new_inv_std)
+    y = (x - mean) * (gamma * inv_std) + beta
+    return y, (mean, inv_std)
+
+
+def batch_renorm_apply(x, beta, gamma, mean, inv_std, rmax, dmax, train):
+    """Batch ReNormalization (reference `layers.py:48-130`).
+
+    Returns (y, (new_mean, new_inv_std)). rmax/dmax are annealing clip
+    scalars managed by the training loop, exactly as the reference requires
+    its caller to manage RMAX/DMAX.
+    """
+    if not train:
+        y = (x - mean) * (gamma * inv_std) + beta
+        return y, (mean, inv_std)
+    axes = _reduce_axes(x)
+    mu = jnp.mean(x, axis=axes)
+    var = jnp.var(x, axis=axes)
+    istd = jax.lax.rsqrt(var + EPS)
+    # r/d corrections use running stats; no gradient flows through them.
+    r = jax.lax.stop_gradient(jnp.clip(inv_std / istd, 1.0 / rmax, rmax))
+    d = jax.lax.stop_gradient(jnp.clip((mu - mean) * inv_std, -dmax, dmax))
+    xhat = (x - mu) * istd * r + d
+    y = gamma * xhat + beta
+    new_mean = (1 - ALPHA) * mean + ALPHA * mu
+    new_inv_std = (1 - ALPHA) * inv_std + ALPHA * istd
+    return y, (new_mean, new_inv_std)

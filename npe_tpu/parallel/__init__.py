@@ -1,0 +1,7 @@
+from npe_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_spec,
+    shard_batch,
+    shard_variables,
+    shard_train_state,
+)

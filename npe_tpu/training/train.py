@@ -1,0 +1,209 @@
+"""IAN training driver (reference `train_IAN.py:378-581`).
+
+Keeps the reference's observable behavior -- chunked epochs, alternating
+G/D updates by `itr % (update_ratio+1)`, per-chunk JSONL metrics with the
+periodic header table, per-epoch 6x9 sample/interpolation grids, name-keyed
+.npz weight checkpoints with {epoch, itr, ts, learning_rate} metadata, and
+`--resume` -- while fixing its known gaps: optimizer state and PRNG key are
+checkpointed too (the reference restarted Adam moments from zero,
+SURVEY.md section 5).
+
+TPU-native: both update steps are single jitted programs; chunks are staged
+to device once and batches sliced on-device (the reference's shared-variable
+`givens` trick, `train_IAN.py:307-325`); with more than one device the state
+and batch are sharded over the ('data','model') mesh and XLA inserts the
+gradient all-reduce.
+
+CLI: python -m npe_tpu.training.train IAN_simple --resume ...
+"""
+
+import argparse
+import logging
+import os
+import time
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npe_tpu.data import data_loader, get_dataset
+from npe_tpu.models import get_config
+from npe_tpu.training import train_step as TS
+from npe_tpu.training.eval_grids import sample_and_interp_grid
+from npe_tpu.utils import checkpoints
+from npe_tpu.utils.metrics_logging import MetricsLogger
+
+GEN_KEYS = ["gen_recon_loss", "gen_sample_loss", "pixel_loss", "feature_loss", "pixel_acc"]
+DISCRIM_KEYS = ["discrim_g_loss", "discrim_d_loss", "discrim_acc", "pixel_loss", "pixel_acc"]
+
+
+def current_lr(cfg, epoch, lr):
+    if isinstance(cfg["learning_rate"], dict):
+        if epoch in cfg["learning_rate"]:
+            new = cfg["learning_rate"][epoch]
+            if new != lr:
+                logging.info("Changing learning rate from %s to %s", lr, new)
+            return float(new)
+    if cfg.get("decay_rate") and epoch > 0:
+        return lr * (1 - cfg["decay_rate"])
+    return lr
+
+
+def train(
+    config="IAN_simple",
+    dataset_spec="synthetic",
+    resume=False,
+    max_epochs=None,
+    num_examples=4096,
+    out_dir=".",
+    pics_dir="pics",
+    seed=0,
+    mesh=None,
+    checkpoint_grids=True,
+    cfg_overrides=None,
+):
+    module = get_config(config)
+    cfg = dict(module.cfg)
+    if max_epochs is not None:
+        cfg["max_epochs"] = max_epochs
+    if cfg_overrides:
+        cfg.update(cfg_overrides)
+
+    name = cfg["model"]
+    weights_fname = os.path.join(out_dir, name + ".npz")
+    state_fname = os.path.join(out_dir, name + "_train_state.npz")
+    metrics_fname = os.path.join(out_dir, name + "METRICS.jsonl")
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s| %(message)s")
+    logging.info("Metrics will be saved to %s", metrics_fname)
+    mlog = MetricsLogger(metrics_fname, reinitialize=not resume)
+
+    variables = module.init(jax.random.PRNGKey(seed))
+    state = TS.init_train_state(module, variables, cfg)
+    gen_step, discrim_step = TS.make_train_steps(module, cfg)
+
+    itr = 0
+    min_epoch = 0
+    lr = float(cfg["learning_rate"][0] if isinstance(cfg["learning_rate"], dict) else cfg["learning_rate"])
+    if resume and os.path.isfile(state_fname):
+        loaded = checkpoints.load_train_state(state_fname)
+        # masks are not saved with trainables; re-attach from fresh init
+        for k, v in state["parts"]["state"].items():
+            if k.endswith(".weights_mask"):
+                loaded["parts"]["state"][k] = v
+        state = loaded
+        meta = checkpoints.load_weights(weights_fname, {}) if os.path.isfile(weights_fname) else {}
+        min_epoch = int(meta.get("epoch", -1)) + 1
+        itr = int(meta.get("itr", 0))
+        lr = float(meta.get("learning_rate", lr))
+        logging.info("resumed: epoch=%d itr=%d lr=%g", min_epoch, itr, lr)
+
+    if mesh is not None:
+        from npe_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(state, mesh)
+
+    dataset = get_dataset(dataset_spec, num_examples=num_examples)
+    update_ratio = cfg["update_ratio"]
+    rng = jax.random.PRNGKey(seed + 1)
+    offset = True
+
+    for epoch in range(min_epoch, cfg["max_epochs"]):
+        offset = not offset
+        lr = current_lr(cfg, epoch, lr)
+        loader = data_loader(
+            cfg, dataset, offset=offset * cfg["batch_size"] // 2, shuffle=cfg["shuffle"], seed=epoch
+        )
+        iter_counter = 0
+        form = None
+        for x_chunk in loader:
+            iter_counter += 1
+            num_batches = len(x_chunk) // cfg["batch_size"]
+            perm = np.random.permutation(len(x_chunk))
+            # NCHW [0,255]->tanh already applied by loader; go NHWC on device
+            x_dev = jnp.asarray(x_chunk[perm].transpose(0, 2, 3, 1))
+            if mesh is not None:
+                from npe_tpu.parallel.mesh import shard_batch
+
+                x_dev = shard_batch(x_dev, mesh)
+
+            metrics = OrderedDict((k, []) for k in GEN_KEYS + DISCRIM_KEYS)
+            for bi in range(num_batches):
+                xb = jax.lax.dynamic_slice_in_dim(x_dev, bi * cfg["batch_size"], cfg["batch_size"])
+                rng, kz, ks = jax.random.split(rng, 3)
+                z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
+                if itr % (update_ratio + 1) == 0:
+                    state, m = gen_step(state, xb, z_rand, ks, lr)
+                    for k in GEN_KEYS:
+                        metrics[k].append(m[k])
+                else:
+                    state, m = discrim_step(state, xb, z_rand, ks, lr)
+                    for k in DISCRIM_KEYS:
+                        metrics[k].append(m[k])
+                itr += 1
+
+            metrics = OrderedDict(
+                (k, float(np.mean([np.asarray(x) for x in v]))) for k, v in metrics.items() if v
+            )
+            if (iter_counter - 1) % 50 == 0:
+                logging.info("epoch   itr    " + "  ".join(metrics))
+            logging.info(
+                "%4d %6d  " % (epoch, itr)
+                + "  ".join(("%" + str(len(k)) + ".4f") % v for k, v in metrics.items())
+            )
+            mlog.log(epoch=epoch, itr=itr, metrics=metrics)
+
+        if not (epoch % cfg["checkpoint_every_nth"]):
+            variables = TS.variables_of(state)
+            if checkpoint_grids:
+                os.makedirs(pics_dir, exist_ok=True)
+                sample_and_interp_grid(
+                    module,
+                    variables,
+                    dataset,
+                    os.path.join(pics_dir, f"{name}_{epoch}.png"),
+                    seed=epoch * 42 + 5,
+                )
+            meta = {"epoch": epoch, "itr": itr, "ts": time.time(), "learning_rate": lr}
+            checkpoints.save_weights(weights_fname, variables, meta)
+            checkpoints.save_train_state(state_fname, jax.device_get(state))
+
+    logging.info("training done")
+    return state
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config_path", help="model config name or path (IAN, IANv1, IAN_simple)")
+    p.add_argument("--resume", type=bool, default=False)
+    p.add_argument("--dataset", default="synthetic", help="'synthetic' or path to .npz")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--num-examples", type=int, default=4096)
+    p.add_argument("--data-parallel", action="store_true", help="shard over all devices")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--batches-per-chunk", type=int, default=None)
+    a = p.parse_args()
+    overrides = {}
+    if a.batch_size:
+        overrides["batch_size"] = a.batch_size
+    if a.batches_per_chunk:
+        overrides["batches_per_chunk"] = a.batches_per_chunk
+    mesh = None
+    if a.data_parallel:
+        from npe_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    train(
+        config=a.config_path,
+        dataset_spec=a.dataset,
+        resume=a.resume,
+        max_epochs=a.max_epochs,
+        num_examples=a.num_examples,
+        mesh=mesh,
+        cfg_overrides=overrides,
+    )
+
+
+if __name__ == "__main__":
+    main()

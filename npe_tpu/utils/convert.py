@@ -1,0 +1,53 @@
+"""Theano/Lasagne checkpoint converter.
+
+The reference saves name-keyed .npz checkpoints (`GANcheckpoints.py:11-30`)
+with Lasagne layer-name-prefixed parameter names ('enc_conv1.W', 'bnorm2.
+beta', 'dec_conv2aW', ...). This module ports such a checkpoint into this
+framework's layout:
+
+  * forward-conv W:  OIHW -> HWIO           (transpose 2,3,1,0)
+  * deconv W:        (Cin, Cout, kh, kw) -> (kh, kw, Cin, Cout)
+                     (reference DeconvLayer.get_W_shape, `layers.py:449-452`)
+  * enc_fc1.W:       input rows permuted from NCHW-flatten (C,H,W) to the
+                     NHWC-flatten (H,W,C) this framework uses
+  * everything else: copied verbatim (dense, BN, minibatch, MADE).
+
+MADE masks are NOT in reference checkpoints (non-trainable); to reproduce a
+specific trained flow exactly, pass its `ordering` to `made_masks` -- the
+connectivity rule is deterministic given the ordering (ops/made.py).
+"""
+
+import numpy as np
+
+DECONV_NAMES = ("dec_conv1.W", "dec_conv2.W", "dec_conv3.W", "dec_conv4.W", "dec_out.W")
+FC1_SPATIAL = (1024, 4, 4)  # enc_conv4 output, NCHW
+
+
+def convert_param(name, arr):
+    arr = np.asarray(arr)
+    if name in DECONV_NAMES and arr.ndim == 4:
+        return arr.transpose(2, 3, 0, 1)
+    if arr.ndim == 4 and name.endswith("W"):
+        # forward conv (enc_conv*.W) and MDCL shared filters (*W)
+        return arr.transpose(2, 3, 1, 0)
+    if name == "enc_fc1.W":
+        c, h, w = FC1_SPATIAL
+        return arr.reshape(c, h, w, -1).transpose(1, 2, 0, 3).reshape(c * h * w, -1)
+    return arr
+
+
+def convert_theano_npz(src_path, dst_path, metadata=None):
+    """Convert a reference checkpoint file to this framework's layout."""
+    from npe_tpu.utils.checkpoints import METADATA_KEY, save_weights
+
+    with np.load(src_path, allow_pickle=True) as f:
+        stored = {k: f[k] for k in f.files}
+    meta = {}
+    if "metadata" in stored:  # reference pickles metadata under 'metadata'
+        try:
+            meta = stored.pop("metadata").item()
+        except Exception:
+            stored.pop("metadata", None)
+    converted = {k: convert_param(k, v) for k, v in stored.items() if k != METADATA_KEY}
+    save_weights(dst_path, converted, metadata or meta)
+    return converted

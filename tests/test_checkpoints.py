@@ -1,0 +1,63 @@
+"""Checkpoint ABI tests (reference `GANcheckpoints.py:11-57` contract)."""
+
+import numpy as np
+
+from npe_tpu.utils.checkpoints import (
+    load_train_state,
+    load_weights,
+    save_train_state,
+    save_weights,
+)
+from npe_tpu.utils.metrics_logging import MetricsLogger, read_records
+
+
+def test_save_load_roundtrip(tmp_path):
+    f = str(tmp_path / "w.npz")
+    v = {"a.W": np.arange(6, dtype=np.float32).reshape(2, 3), "bn.mean": np.ones(3, np.float32)}
+    save_weights(f, v, metadata={"epoch": 7, "learning_rate": 1e-4})
+    v2 = {"a.W": np.zeros((2, 3), np.float32), "bn.mean": np.zeros(3, np.float32)}
+    meta = load_weights(f, v2)
+    assert meta["epoch"] == 7
+    np.testing.assert_array_equal(v2["a.W"], v["a.W"])
+    np.testing.assert_array_equal(v2["bn.mean"], v["bn.mean"])
+
+
+def test_shape_mismatch_warns_and_skips(tmp_path, caplog):
+    f = str(tmp_path / "w.npz")
+    save_weights(f, {"a.W": np.ones((2, 3), np.float32)})
+    v2 = {"a.W": np.zeros((4, 4), np.float32), "new.W": np.zeros(2, np.float32)}
+    load_weights(f, v2)
+    np.testing.assert_array_equal(v2["a.W"], 0)  # skipped, untouched
+    np.testing.assert_array_equal(v2["new.W"], 0)  # missing, untouched
+
+
+def test_masks_excluded_and_regenerated(tmp_path):
+    f = str(tmp_path / "w.npz")
+    v = {"m.weights_mask": np.ones((3, 3), np.float32), "a.W": np.ones(2, np.float32)}
+    save_weights(f, v)
+    v2 = {"m.weights_mask": np.zeros((3, 3), np.float32), "a.W": np.zeros(2, np.float32)}
+    load_weights(f, v2)
+    np.testing.assert_array_equal(v2["m.weights_mask"], 0)  # left to init-time value
+    np.testing.assert_array_equal(v2["a.W"], 1)
+
+
+def test_train_state_roundtrip(tmp_path):
+    f = str(tmp_path / "state.npz")
+    state = {"vars": {"w": np.ones(3)}, "step": np.int64(42), "nested": [np.zeros(2), np.ones(1)]}
+    save_train_state(f, state)
+    out = load_train_state(f)
+    assert int(out["step"]) == 42
+    np.testing.assert_array_equal(out["vars"]["w"], 1)
+
+
+def test_metrics_logger(tmp_path):
+    f = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(f, reinitialize=True)
+    log.log(epoch=0, metrics={"loss": 1.0})
+    log.log(epoch=1, metrics={"loss": 0.5})
+    with open(f, "a") as fh:
+        fh.write('{"torn": tru')  # torn line, no newline
+    recs = read_records(f)
+    assert len(recs) == 2
+    assert recs[1]["epoch"] == 1
+    assert "_stamp" in recs[0]

@@ -1,0 +1,87 @@
+"""Geometry/golden tests for the conv family.
+
+The critical one: `deconv2d` must equal the *gradient of the forward conv* --
+that is literally what the reference's DeconvLayer computes by emitting
+cuDNN's GpuDnnConvGradI (`layers.py:467-483`), with output spatial hardcoded
+to stride x input (`layers.py:460`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npe_tpu.ops.conv import avg_pool, conv2d, deconv2d, dilated_conv2d, global_avg_pool, upscale2d
+
+
+def test_conv2d_shape_and_values():
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3) / 100
+    w = jnp.ones((5, 5, 3, 7)) * 0.01
+    y = conv2d(x, w, stride=2, padding=2)
+    assert y.shape == (2, 4, 4, 7)
+
+
+@pytest.mark.parametrize("hw,cin,cout", [(4, 6, 5), (8, 3, 2)])
+def test_deconv_equals_grad_of_forward_conv(hw, cin, cout):
+    """deconv2d(g, W) == d/d(input) [ sum(conv_fwd(input) * g) ] where
+    conv_fwd is the 5x5 stride-2 pad-2 conv from (2*hw) -> hw. Exactly the
+    cuDNN GradI semantics the reference deconv emits."""
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    # deconv: input (2, hw, hw, cout) -> output (2, 2hw, 2hw, cin); stored
+    # kernel (kh, kw, Cin_deconv=cout, Cout_deconv=cin). The corresponding
+    # forward conv maps cin-channel images to cout-channel features with
+    # HWIO kernel (5, 5, cin, cout) = transpose(w, (0, 1, 3, 2)).
+    g = jax.random.normal(k1, (2, hw, hw, cout))
+    w = jax.random.normal(k2, (5, 5, cout, cin))
+
+    def fwd(inp):
+        return conv2d(inp, jnp.transpose(w, (0, 1, 3, 2)), stride=2, padding=2)
+
+    inp0 = jnp.zeros((2, 2 * hw, 2 * hw, cin))
+    _, vjp = jax.vjp(fwd, inp0)
+    (grad_inp,) = vjp(g)
+
+    y = deconv2d(g, w, stride=2, crop=2)
+    assert y.shape == (2, 2 * hw, 2 * hw, cin)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(grad_inp), rtol=1e-4, atol=1e-5)
+
+
+def test_deconv_matches_lasagne_nondnn_path():
+    """The reference's non-cuDNN fallback (`IAN_simple.py:182-223`) is a
+    TransposedConv2D with crop=1 followed by slicing off the first row/col.
+    Verify deconv2d reproduces it (same weights)."""
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (1, 4, 4, 3))
+    w = jax.random.normal(k2, (5, 5, 3, 2))
+
+    # TransposedConv2D(stride 2, crop 1): output = 2*(i-1) + 5 - 2*1 = 2i+1,
+    # then slice [1:] on both spatial dims -> 2i.
+    y_tc = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, (0, 1)),
+        window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),  # k-1-crop = 3 each side
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[:, 1:, 1:, :]
+    y = deconv2d(x, w, stride=2, crop=2)
+    assert y_tc.shape == y.shape == (1, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_tc), rtol=1e-4, atol=1e-5)
+
+
+def test_dilated_conv_same_spatial():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 4))
+    for d in (1, 2, 3, 4):
+        y = dilated_conv2d(x, w, d)
+        assert y.shape == x.shape
+
+
+def test_pooling():
+    x = jnp.ones((2, 8, 8, 3))
+    assert avg_pool(x, 2, 2).shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(avg_pool(x, 2, 2)), 1.0)
+    assert global_avg_pool(x).shape == (2, 3)
+    assert upscale2d(x, 2).shape == (2, 16, 16, 3)
