@@ -32,25 +32,26 @@ def main(batch=256, iters=20, warmup=3, dtype=jnp.bfloat16):
     variables = module.init(jax.random.PRNGKey(0))
     v16 = cast_tree(variables, dtype)
 
-    @jax.jit
     def encode_decode(v, x):
         z = module.encode(v, x)
         return module.decode(v, z)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), dtype) * 0.5
-    # Warmup / compile; chain iterations through a data dependency so async
-    # dispatch (and any experimental-platform laziness) cannot hide work,
-    # and fetch the result to host to force completion.
-    y = x
-    for _ in range(warmup):
-        y = encode_decode(v16, 0.9 * y + 0.1 * x)
-    float(jnp.sum(y))
+    @jax.jit
+    def chained(v, x):
+        # One program runs `iters` dependent encode+decode rounds on-device:
+        # no per-iteration host round-trips, no async-dispatch mirages.
+        def body(y, _):
+            return encode_decode(v, 0.9 * y + 0.1 * x), ()
 
-    y = x
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(y)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), dtype) * 0.5
+    for _ in range(warmup):
+        checksum = float(chained(v16, x))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = encode_decode(v16, 0.9 * y + 0.1 * x)
-    checksum = float(jnp.sum(y))
+    checksum = float(chained(v16, x))
     dt = time.perf_counter() - t0
     assert jnp.isfinite(checksum)
 

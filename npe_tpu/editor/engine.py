@@ -48,7 +48,21 @@ def _mask_and_composite(xh_hwc, recon_hwc, error_hwc):
 
 
 class EditSession:
-    def __init__(self, config="IAN_simple", variables=None, weights_path=None, dim=(10, 10), seed=42):
+    def __init__(
+        self,
+        config="IAN_simple",
+        variables=None,
+        weights_path=None,
+        dim=(10, 10),
+        seed=42,
+        use_pallas="auto",
+    ):
+        """use_pallas: True/False/'auto' -- fuse the DELTA/MASK/composite
+        tail into the Pallas VMEM kernel (ops/pallas/editor_kernels.py);
+        'auto' enables it on TPU backends only."""
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
         self.module = get_config(config)
         if variables is None:
             variables = self.module.init(jax.random.PRNGKey(seed))
@@ -76,6 +90,17 @@ class EditSession:
             m = patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, xh.dtype)
             return jnp.sum(xh * m[:, :, None]) / (jnp.sum(m) * xh.shape[2])
 
+        if self.use_pallas:
+            from npe_tpu.ops.pallas.editor_kernels import edit_tail
+
+            def _tail(xh, recon, error):
+                im = edit_tail(xh, recon, error, MASK_SIGMA)
+                return im, xh - recon, None
+        else:
+
+            def _tail(xh, recon, error):
+                return _mask_and_composite(xh, recon, error)
+
         @jax.jit
         def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, composite):
             """Full stroke propagation (`NPE.py:192-235`) as one program.
@@ -84,9 +109,9 @@ class EditSession:
             g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, rgb_hwc)
             z2 = z - PAINT_WEIGHT * g * (1.0 + (c2 - c1))
             xh = _decode_hwc(v, z2)
-            im, delta, mask = _mask_and_composite(xh, recon, error)
+            im, delta, mask = _tail(xh, recon, error)
             im = jnp.where(composite, im, xh)
-            return z2, im, xh, delta, mask
+            return z2, im, xh
 
         @jax.jit
         def _scroll_step(v, z, c1, r1, c2, r2, direction):
@@ -98,7 +123,7 @@ class EditSession:
         @jax.jit
         def _composite_step(v, z, recon, error, composite):
             xh = _decode_hwc(v, z)
-            im, delta, mask = _mask_and_composite(xh, recon, error)
+            im, _, _ = _tail(xh, recon, error)
             im = jnp.where(composite, im, xh)
             return im, xh
 
@@ -196,7 +221,7 @@ class EditSession:
         rgb_hwc = jnp.broadcast_to(
             jnp.asarray(to_tanh(np.float32(rgb))), self._recon.shape
         )
-        z2, im, xh, delta, mask = self._paint_fn(
+        z2, im, xh = self._paint_fn(
             self.variables,
             self.Z,
             x1,

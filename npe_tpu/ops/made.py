@@ -132,6 +132,13 @@ def made_init(key, name, input_size, hidden_sizes, seed=1234, n_shuffles=1):
     return v
 
 
+def masked_dense(z, w, mask, b=None, nonlinearity=None):
+    """MaskedLayer / DIML core op (reference `layers.py:653-707`): dense with
+    a non-trainable binary weights_mask."""
+    out = dense(z, w * mask, b)
+    return nonlinearity(out) if nonlinearity is not None else out
+
+
 def made_apply(v, name, z, n_hidden=1):
     """Forward pass (reference `layers.py:817-818` -> masked stack + DIML,
     summed). Hidden nonlinearity relu, output linear."""

@@ -21,3 +21,13 @@ def gaussian_sample(mu, logsigma, rng=None):
 
 # GSL (`layers.py:615-628`) is shape-generic already; alias for inventory.
 gaussian_sample_spatial = gaussian_sample
+
+
+def gaussian_sample_list(mus, logsigmas, rng=None):
+    """`GL` (`layers.py:631-632`): list of sampled latent tensors."""
+    import jax
+
+    if rng is None:
+        return [gaussian_sample(m, ls, None) for m, ls in zip(mus, logsigmas)]
+    keys = jax.random.split(rng, len(mus))
+    return [gaussian_sample(m, ls, k) for m, ls, k in zip(mus, logsigmas, keys)]

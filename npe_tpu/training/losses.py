@@ -85,6 +85,16 @@ def pixel_mse(x_hat, x):
     return jnp.mean((x_hat - x) ** 2)
 
 
+def gaussian_nll_pixel(x_hat, x, log_sigma):
+    """Gaussian NLL pixel loss with a learned per-pixel log_sigma map -- the
+    legacy driver's variant (reference `train_IAN_simple.py:300-310`,
+    log_sigma_theta shape (3,64,64)): 0.5*mean(log(2*pi) + 2*log_sigma +
+    (x_hat - x)^2 / exp(2*log_sigma))."""
+    return 0.5 * jnp.mean(
+        jnp.log(2 * jnp.pi) + 2 * log_sigma + (x_hat - x) ** 2 / jnp.exp(2 * log_sigma)
+    )
+
+
 def kl_to_standard_normal(mu, ls):
     """`train_IAN.py:172`: -0.5*mean(1 + 2*ls - mu^2 - exp(2*ls))."""
     return -0.5 * jnp.mean(1 + 2 * ls - mu**2 - jnp.exp(2 * ls))

@@ -41,7 +41,8 @@ def test_mdcl_fused_equals_branches():
 def test_mdcl_fused_exact_in_f64():
     import jax as _jax
 
-    with _jax.experimental.enable_x64():
+    _jax.config.update("jax_enable_x64", True)
+    try:
         key = jax.random.PRNGKey(0)
         ks = jax.random.split(key, 6)
         x = jax.random.normal(ks[0], (2, 16, 16, 6), jnp.float64)
@@ -54,6 +55,8 @@ def test_mdcl_fused_exact_in_f64():
         fused = mdcl_apply(x, w, coeff_base, scale_coeffs, scales)
         ref = _branch_reference(x, w, coeff_base, scale_coeffs, scales)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-10, atol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
 
 
 def test_mdclw_overwrite_semantics():
