@@ -11,7 +11,6 @@ Differences from the reference, by design:
     layout; internally everything is NHWC for the TPU.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +33,37 @@ class IAN:
     """Generic class for using IAN-style models with the NPE
     (reference `API.py:11-110`)."""
 
-    def __init__(self, config_path="IAN_simple", variables=None, weights_path=None, seed=42):
+    def __init__(
+        self, config_path="IAN_simple", variables=None, weights_path=None, seed=42, dtype=None
+    ):
+        """dtype: pass jnp.bfloat16 to run the whole inference path in the
+        MXU-native dtype (params cast once; inputs cast at the boundary,
+        outputs returned float32)."""
         self.module = get_config(config_path)
         self.cfg = self.module.cfg
         if variables is None:
             variables = self.module.init(jax.random.PRNGKey(seed))
         if weights_path is not None:
             checkpoints.load_weights(weights_path, variables)
+        if dtype is not None:
+            from npe_tpu.utils.cast import cast_floating
+
+            variables = cast_floating(variables, dtype)
+        self.dtype = dtype
         self.variables = variables
         mod = self.module
 
+        in_dtype = dtype or jnp.float32
+
         @jax.jit
         def _encode(v, x_nchw):
-            return mod.encode(v, jnp.transpose(x_nchw, (0, 2, 3, 1)))
+            x = jnp.transpose(x_nchw, (0, 2, 3, 1)).astype(in_dtype)
+            return mod.encode(v, x).astype(jnp.float32)
 
         @jax.jit
         def _decode(v, z):
-            return jnp.transpose(mod.decode(v, z), (0, 3, 1, 2))
+            out = mod.decode(v, z.astype(in_dtype))
+            return jnp.transpose(out, (0, 3, 1, 2)).astype(jnp.float32)
 
         def _lighten_loss(z, v, c1, r1, c2, r2):
             xh = mod.decode(v, z)  # (1, H, W, C)

@@ -16,7 +16,6 @@ Image convention at the session boundary: CHW float32 in [-1, 1] (tanh
 range), like the model API. `*_uint8()` helpers convert for display.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,13 @@ recompilation. Unlike the reference, optimizer state is checkpointable
 (SURVEY.md section 5 gap).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from npe_tpu.training import losses as L
-from npe_tpu.training.graph import compute_metrics, discrim_loss_fn, forward_all, gen_loss_fn, latent_loss_fn
+from npe_tpu.training.graph import compute_metrics, discrim_loss_fn, gen_loss_fn, latent_loss_fn
 
 ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
