@@ -75,6 +75,41 @@ def deconv2d(x, w, stride=2, crop=2, b=None):
     return y
 
 
+def deconv2d_phased(x, w, b=None):
+    """`deconv2d` for the models' fixed geometry (k=5, stride=2, crop=2,
+    out=2x) decomposed into 4 phase convolutions + interleave: output pixels
+    at parity (ph, pw) depend only on kernel taps of matching parity, so
+    instead of one lhs-dilated conv over a zero-stuffed input we run four
+    dense convs (3x3/3x2/2x3/2x2) and pixel-shuffle the results. No wasted
+    MACs regardless of how the compiler handles lhs dilation.
+
+    Derivation (per dim, p = output index, j = input index, k = tap):
+    p = 2j - 2 + k  =>  even p: taps {0,2,4} as a 3-tap correlation with
+    kernel flip(w[0::2]) pad (1,1); odd p: taps {1,3} as a 2-tap correlation
+    with kernel flip(w[1::2]) pad (0,1). Equality with deconv2d is asserted
+    in tests/test_conv.py.
+    """
+    n, h, ww, cin = x.shape
+    cout = w.shape[3]
+    phases = []
+    for ph in (0, 1):
+        row = []
+        for pw in (0, 1):
+            k = jnp.flip(w[ph::2, pw::2], axis=(0, 1))
+            pad_h = (1, 1) if ph == 0 else (0, 1)
+            pad_w = (1, 1) if pw == 0 else (0, 1)
+            row.append(conv2d(x, k, stride=1, padding=(pad_h, pad_w)))
+        phases.append(row)
+    # interleave: out[:, 2i+ph, 2j+pw, :] = phases[ph][pw][:, i, j, :]
+    top = jnp.stack([phases[0][0], phases[0][1]], axis=3)  # (N,H,W,2,C)
+    bot = jnp.stack([phases[1][0], phases[1][1]], axis=3)
+    y = jnp.stack([top, bot], axis=2)  # (N,H,2,W,2,C)
+    y = y.reshape(n, 2 * h, 2 * ww, cout)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def dilated_conv2d(x, w, dilation, padding=None):
     """Dilated conv; default padding keeps spatial size ('same' for odd k)."""
     d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)

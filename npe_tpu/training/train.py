@@ -104,7 +104,21 @@ def train(
 
         state = shard_train_state(state, mesh)
 
-    dataset = get_dataset(dataset_spec, num_examples=num_examples)
+    # Data source: in-process Python datasets, or the native C++ prefetching
+    # loader over a raw record file ('native:<path>' -- export with
+    # npe_tpu.data.native_loader.export_raw).
+    native = None
+    if str(dataset_spec).startswith("native:"):
+        from npe_tpu.data.native_loader import NativeChunkLoader
+
+        raw_path = str(dataset_spec)[len("native:"):]
+        n_rec = os.path.getsize(raw_path) // (3 * 64 * 64)
+        native = NativeChunkLoader(
+            raw_path, n_rec, (3, 64, 64), cfg["batch_size"] * cfg["batches_per_chunk"]
+        )
+        dataset = get_dataset("synthetic", num_examples=num_examples)  # for grids
+    else:
+        dataset = get_dataset(dataset_spec, num_examples=num_examples)
     update_ratio = cfg["update_ratio"]
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
@@ -112,9 +126,19 @@ def train(
     for epoch in range(min_epoch, cfg["max_epochs"]):
         offset = not offset
         lr = current_lr(cfg, epoch, lr)
-        loader = data_loader(
-            cfg, dataset, offset=offset * cfg["batch_size"] // 2, shuffle=cfg["shuffle"], seed=epoch
-        )
+        if native is not None:
+            from npe_tpu.utils.ranges import to_tanh as _tt
+
+            loader = (
+                _tt(np.float32(raw))
+                for raw in native.epoch(
+                    shuffle=cfg["shuffle"], seed=epoch, offset=offset * cfg["batch_size"] // 2
+                )
+            )
+        else:
+            loader = data_loader(
+                cfg, dataset, offset=offset * cfg["batch_size"] // 2, shuffle=cfg["shuffle"], seed=epoch
+            )
         iter_counter = 0
         form = None
         for x_chunk in loader:
@@ -154,7 +178,7 @@ def train(
             )
             mlog.log(epoch=epoch, itr=itr, metrics=metrics)
 
-        if not (epoch % cfg["checkpoint_every_nth"]):
+        if not (epoch % cfg["checkpoint_every_nth"]) or epoch == cfg["max_epochs"] - 1:
             variables = TS.variables_of(state)
             if checkpoint_grids:
                 os.makedirs(pics_dir, exist_ok=True)
@@ -183,12 +207,15 @@ def main():
     p.add_argument("--data-parallel", action="store_true", help="shard over all devices")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--batches-per-chunk", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None)
     a = p.parse_args()
     overrides = {}
     if a.batch_size:
         overrides["batch_size"] = a.batch_size
     if a.batches_per_chunk:
         overrides["batches_per_chunk"] = a.batches_per_chunk
+    if a.checkpoint_every:
+        overrides["checkpoint_every_nth"] = a.checkpoint_every
     mesh = None
     if a.data_parallel:
         from npe_tpu.parallel.mesh import make_mesh

@@ -71,6 +71,19 @@ def test_deconv_matches_lasagne_nondnn_path():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_tc), rtol=1e-4, atol=1e-5)
 
 
+def test_deconv_phased_equals_deconv():
+    """Phase-decomposed deconv (4 dense convs + pixel shuffle) must equal
+    the lhs-dilated formulation."""
+    from npe_tpu.ops.conv import deconv2d_phased
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 6))
+    w = jax.random.normal(jax.random.PRNGKey(4), (5, 5, 6, 3))
+    b = jax.random.normal(jax.random.PRNGKey(5), (3,))
+    a = deconv2d(x, w, b=b)
+    p = deconv2d_phased(x, w, b=b)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
 def test_dilated_conv_same_spatial():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 4))
     w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 4))
