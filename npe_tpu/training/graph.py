@@ -28,7 +28,11 @@ def forward_all(module, variables, x, z_rand, rng, upd=None):
         z, _, _ = module.iaf(variables, z0)
     else:
         z = z0
-    x_hat = module.decode(variables, z, train=True, upd=None)
+    # Decoder BN running stats update from this (reconstruction) pass --
+    # without this, eval-mode decoding normalizes with init-time stats and
+    # produces garbage (the reference updated every BN layer in the graph
+    # via default_update side effects).
+    x_hat = module.decode(variables, z, train=True, upd=upd)
 
     # pass 2: discriminator + introspection on the reconstruction
     g_xh = module.backbone(variables, x_hat, True, None)

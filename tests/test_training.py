@@ -51,11 +51,15 @@ def test_gen_step_updates_gen_and_latent_only(setup):
     assert _l2_delta(s2["parts"]["gen"], state["parts"]["gen"]) > 0
     assert _l2_delta(s2["parts"]["latent"], state["parts"]["latent"]) > 0
     assert _l2_delta(s2["parts"]["discrim"], state["parts"]["discrim"]) == 0
-    # BN stats moved
-    assert (
-        float(jnp.sum(jnp.abs(s2["parts"]["state"]["bnorm2.mean"] - state["parts"]["state"]["bnorm2.mean"])))
-        > 0
-    )
+    # BN stats moved -- ENCODER and DECODER both (the decoder-stat bug made
+    # eval-mode decoding garbage while train-mode looked fine)
+    for stat in ("bnorm2.mean", "bnorm_dec_fc2.mean", "bnorm_dc1.mean", "bnorm_dc3.inv_std"):
+        assert (
+            float(
+                jnp.sum(jnp.abs(s2["parts"]["state"][stat] - state["parts"]["state"][stat]))
+            )
+            > 0
+        ), stat
     for k, val in metrics.items():
         assert np.isfinite(float(val)), k
 
