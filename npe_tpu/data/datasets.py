@@ -88,8 +88,42 @@ def data_loader(cfg, dataset, offset=0, shuffle=False, seed=42):
         yield to_tanh(np.float32(dataset.get_data(sel)))
 
 
+class Hdf5ImageDataset:
+    """Fuel-style HDF5 dataset (the reference streams CelebA via Fuel's
+    `celeba_64.hdf5`, `train_IAN.py:415,441`): a `features` dataset of
+    (N, 3, 64, 64) uint8, optionally windowed by a split range so
+    train/valid/test subsets can be selected."""
+
+    def __init__(self, path, source="features", start=0, stop=None):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+        self._d = self._f[source]
+        self._start = start
+        stop = stop if stop is not None else self._d.shape[0]
+        self.num_examples = stop - start
+
+    def get_data(self, indices):
+        import numpy as _np
+
+        idx = _np.asarray(indices) + self._start
+        order = _np.argsort(idx)  # h5py requires increasing indices
+        out = self._d[_np.sort(idx).tolist()]
+        inv = _np.empty_like(order)
+        inv[order] = _np.arange(len(order))
+        return out[inv]
+
+
 def get_dataset(spec, num_examples=4096):
-    """'synthetic' or a path to an .npz."""
+    """'synthetic', a path to an .npz, or an .hdf5/.h5 (Fuel CelebA layout);
+    hdf5 specs accept 'file.hdf5:start:stop' split windows."""
     if spec in (None, "synthetic"):
         return SyntheticFaces(num_examples=num_examples)
-    return NpzImageDataset(spec)
+    s = str(spec)
+    if ".hdf5" in s or ".h5" in s:
+        parts = s.split(":")
+        path = parts[0]
+        start = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        stop = int(parts[2]) if len(parts) > 2 and parts[2] else None
+        return Hdf5ImageDataset(path, start=start, stop=stop)
+    return NpzImageDataset(s)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from npe_tpu.models import common
 from npe_tpu.models.common import VarBuilder, bn, unflatten_nchw
 from npe_tpu.ops.activations import relu
-from npe_tpu.ops.conv import deconv2d
+from npe_tpu.ops.conv import deconv2d_phased as deconv2d
 from npe_tpu.ops.linear import dense
 from npe_tpu.ops.sampling import gaussian_sample
 

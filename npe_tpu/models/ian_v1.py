@@ -11,7 +11,7 @@ from npe_tpu.models import common
 from npe_tpu.models.common import VarBuilder, bn, mdcl, unflatten_nchw
 from npe_tpu.ops.activations import relu, sigmoid
 from npe_tpu.ops.beta import beta_mean
-from npe_tpu.ops.conv import deconv2d
+from npe_tpu.ops.conv import deconv2d_phased as deconv2d
 from npe_tpu.ops.linear import dense
 from npe_tpu.ops.made import iaf_transform, made_apply, made_init
 from npe_tpu.ops.sampling import gaussian_sample
