@@ -62,6 +62,7 @@ def train(
     mesh=None,
     checkpoint_grids=True,
     cfg_overrides=None,
+    profile_dir=None,
 ):
     module = get_config(config)
     cfg = dict(module.cfg)
@@ -152,6 +153,10 @@ def train(
 
                 x_dev = shard_batch(x_dev, mesh)
 
+            # On-device trace of the first chunk when profiling is requested.
+            if profile_dir and epoch == min_epoch and iter_counter == 1:
+                jax.profiler.start_trace(profile_dir)
+
             metrics = OrderedDict((k, []) for k in GEN_KEYS + DISCRIM_KEYS)
             for bi in range(num_batches):
                 xb = jax.lax.dynamic_slice_in_dim(x_dev, bi * cfg["batch_size"], cfg["batch_size"])
@@ -166,6 +171,10 @@ def train(
                     for k in DISCRIM_KEYS:
                         metrics[k].append(m[k])
                 itr += 1
+
+            if profile_dir and epoch == min_epoch and iter_counter == 1:
+                jax.profiler.stop_trace()
+                logging.info("profiler trace written to %s", profile_dir)
 
             metrics = OrderedDict(
                 (k, float(np.mean([np.asarray(x) for x in v]))) for k, v in metrics.items() if v
@@ -208,6 +217,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--batches-per-chunk", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first chunk")
     a = p.parse_args()
     overrides = {}
     if a.batch_size:
@@ -229,6 +239,7 @@ def main():
         num_examples=a.num_examples,
         mesh=mesh,
         cfg_overrides=overrides,
+        profile_dir=a.profile_dir,
     )
 
 

@@ -87,7 +87,10 @@ def save_train_state(fname, state):
     arrays["__treedef__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
     tmp = fname + ".tmp.npz"
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
+        # uncompressed: train states are ~3x the weights (Adam moments) and
+        # zlib on float noise costs minutes per epoch on a small host for a
+        # few percent size win
+        np.savez(f, **arrays)
     os.replace(tmp, fname)
 
 
