@@ -41,6 +41,43 @@ def test_sharded_encode_decode_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_data_parallel_step_matches_single_device():
+    """A DP-sharded gen step must produce the same losses and (numerically
+    close) parameter updates as the unsharded step on the same batch --
+    i.e. GSPMD's gradient all-reduce implements the same global batch."""
+    from npe_tpu.models import get_config
+    from npe_tpu.training import train_step as TS
+
+    m = get_config("IAN_simple")
+    cfg = dict(m.cfg)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (8, 100))
+    rng = jax.random.PRNGKey(3)
+
+    gen_step, _ = TS.make_train_steps(m, cfg, donate=False)
+
+    s_single = TS.init_train_state(m, v, cfg)
+    s_single, m_single = gen_step(s_single, x, z, rng, 2e-4)
+
+    from npe_tpu.parallel.mesh import make_mesh, shard_batch, shard_train_state
+
+    mesh = make_mesh(shape=(8, 1))
+    s_shard = shard_train_state(TS.init_train_state(m, v, cfg), mesh)
+    s_shard, m_shard = gen_step(s_shard, shard_batch(x, mesh), shard_batch(z, mesh), rng, 2e-4)
+
+    for k in m_single:
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_shard[k]), rtol=2e-3, atol=2e-4, err_msg=k
+        )
+    # Adam's first step is +-lr * sign(grad); near-zero grads can flip sign
+    # under reduction-order noise, moving a weight by up to 2*lr -- allow
+    # that (atol 2*lr) but nothing larger.
+    w_a = np.asarray(s_single["parts"]["gen"]["dec_out.W"])
+    w_b = np.asarray(s_shard["parts"]["gen"]["dec_out.W"])
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-2, atol=2 * 2e-4 + 1e-6)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip validation path must compile and run."""
     import importlib.util, pathlib

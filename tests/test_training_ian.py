@@ -10,8 +10,12 @@ from npe_tpu.models import get_config
 from npe_tpu.training import train_step as TS
 
 
-def test_ian_full_gen_and_discrim_step():
-    m = get_config("IAN")
+import pytest
+
+
+@pytest.mark.parametrize("name", ["IAN", "IANv1"])
+def test_ian_full_gen_and_discrim_step(name):
+    m = get_config(name)
     cfg = dict(m.cfg)
     v = m.init(jax.random.PRNGKey(0))
     state = TS.init_train_state(m, v, cfg)
@@ -32,8 +36,10 @@ def test_ian_full_gen_and_discrim_step():
     # the randomized IAF stays frozen through both steps
     for k, before in iaf_before.items():
         np.testing.assert_array_equal(np.asarray(s2["parts"]["frozen"][k]), before)
-    # decoder (incl. MDCL coefficients) moved on the gen step
+    # decoder moved on the gen step (MDCL shared filter for IAN, the
+    # RGB-Beta head's MDCL for IANv1)
+    probe = "dec_conv2aW" if name == "IAN" else "RW"
     assert not np.allclose(
-        np.asarray(s1["parts"]["gen"]["dec_conv2aW"]),
-        np.asarray(state["parts"]["gen"]["dec_conv2aW"]),
+        np.asarray(s1["parts"]["gen"][probe]),
+        np.asarray(state["parts"]["gen"][probe]),
     )
