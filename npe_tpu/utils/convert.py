@@ -36,6 +36,29 @@ def convert_param(name, arr):
     return arr
 
 
+def convert_param_to_theano(name, arr):
+    """Inverse of `convert_param`: export this framework's weights in the
+    reference's layout (so a Theano/Lasagne user could load them)."""
+    arr = np.asarray(arr)
+    if name in DECONV_NAMES and arr.ndim == 4:
+        return arr.transpose(2, 3, 0, 1)  # (kh,kw,cin,cout) -> (cin,cout,kh,kw)
+    if arr.ndim == 4 and name.endswith("W"):
+        return arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if name == "enc_fc1.W":
+        c, h, w = FC1_SPATIAL
+        return arr.reshape(h, w, c, -1).transpose(2, 0, 1, 3).reshape(c * h * w, -1)
+    return arr
+
+
+def convert_to_theano_npz(variables, dst_path, metadata=None):
+    """Export a variables dict to a reference-layout checkpoint."""
+    from npe_tpu.utils.checkpoints import save_weights
+
+    out = {k: convert_param_to_theano(k, v) for k, v in variables.items()}
+    save_weights(dst_path, out, metadata)
+    return out
+
+
 def convert_theano_npz(src_path, dst_path, metadata=None):
     """Convert a reference checkpoint file to this framework's layout."""
     from npe_tpu.utils.checkpoints import METADATA_KEY, save_weights

@@ -84,6 +84,22 @@ def test_decoder_fc_reshape_semantics():
     np.testing.assert_array_equal(ours.transpose(0, 3, 1, 2), ref)
 
 
+def test_convert_inverse_roundtrip():
+    from npe_tpu.utils.convert import convert_param, convert_param_to_theano
+
+    rng = np.random.RandomState(4)
+    cases = {
+        "enc_conv2.W": rng.randn(256, 128, 5, 5).astype(np.float32),
+        "dec_conv2.W": rng.randn(512, 256, 5, 5).astype(np.float32),
+        "dec_conv2aW": rng.randn(512, 512, 3, 3).astype(np.float32),
+        "enc_fc1.W": rng.randn(1024 * 16, 10).astype(np.float32),
+        "mu_bnorm.gamma": rng.randn(100).astype(np.float32),
+    }
+    for name, ref in cases.items():
+        back = convert_param_to_theano(name, convert_param(name, ref))
+        np.testing.assert_array_equal(back, ref, err_msg=name)
+
+
 def test_convert_npz_roundtrip(tmp_path):
     from npe_tpu.utils.convert import convert_theano_npz
 
