@@ -109,6 +109,35 @@ def mdcl(v, name, x, scales):
     return mdcl_apply(x, v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
 
 
+def mdcl_multi(v, names, x, scales):
+    """Several MDCL blocks over the SAME input fused into ONE conv: their
+    composed multiscale kernels concatenate along the output-channel axis
+    (used by the RGB-Beta head where R/G_a/B_a all read the decoder trunk,
+    reference `IAN.py:183-206`). Returns one output per name."""
+    from npe_tpu.ops.conv import conv2d
+    from npe_tpu.ops.mdcl import compose_mdcl_kernel
+
+    kernels = []
+    widths = []
+    for name in names:
+        coeffs = {s: v[f"{name}_coeff_{'1x1' if s == 0 else s}"] for s in scales}
+        k = compose_mdcl_kernel(x_dtype_kernel(v[f"{name}W"], x), v[f"{name}_coeff_base"], coeffs, scales)
+        kernels.append(k)
+        widths.append(k.shape[-1])
+    big = jnp.concatenate(kernels, axis=-1)
+    out = conv2d(x, big, stride=1, padding=big.shape[0] // 2)
+    outs = []
+    start = 0
+    for w in widths:
+        outs.append(out[..., start : start + w])
+        start += w
+    return outs
+
+
+def x_dtype_kernel(w, x):
+    return w.astype(x.dtype) if w.dtype != x.dtype else w
+
+
 def mdblock(v, upd, name, x, scales, act, train):
     """MDBLOCK (reference `layers.py:411-416`): pre-activation residual
     nl(BN2(x + MDCL2(nl(BN1(MDCL1(nl(BN0(x))))))))."""

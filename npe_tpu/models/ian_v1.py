@@ -8,7 +8,7 @@ the same autoregressive RGB-Beta head, and a BINARY sigmoid discriminator
 import jax.numpy as jnp
 
 from npe_tpu.models import common
-from npe_tpu.models.common import VarBuilder, bn, mdcl, unflatten_nchw
+from npe_tpu.models.common import mdcl_multi, VarBuilder, bn, mdcl, unflatten_nchw
 from npe_tpu.ops.activations import relu, sigmoid
 from npe_tpu.ops.beta import beta_mean
 from npe_tpu.ops.conv import deconv2d_phased as deconv2d
@@ -100,10 +100,14 @@ def encode(v, x):
 
 
 def rgb_beta_head(v, h):
+    """Autoregressive RGB-Beta output (`IAN.py:183-207`). The three trunk
+    MDCLs (R, G_a, B_a) fuse into one conv; the autoregressive G_b / B_b
+    branches stay sequential by construction."""
     scales = [2, 3, 4]
-    r = sigmoid(mdcl(v, "R", h, scales))
-    g = sigmoid(mdcl(v, "G_a", h, scales) + mdcl(v, "G_b", r, scales))
-    b = sigmoid(mdcl(v, "B_a", h, scales) + mdcl(v, "B_b", jnp.concatenate([r, g], -1), scales))
+    r_pre, ga_pre, ba_pre = mdcl_multi(v, ["R", "G_a", "B_a"], h, scales)
+    r = sigmoid(r_pre)
+    g = sigmoid(ga_pre + mdcl(v, "G_b", r, scales))
+    b = sigmoid(ba_pre + mdcl(v, "B_b", jnp.concatenate([r, g], -1), scales))
     return jnp.concatenate(
         [
             beta_mean(r[..., 0:1], r[..., 1:2]),

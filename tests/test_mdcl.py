@@ -59,6 +59,23 @@ def test_mdcl_fused_exact_in_f64():
         _jax.config.update("jax_enable_x64", False)
 
 
+def test_mdcl_multi_equals_separate():
+    """Fused multi-head MDCL (one conv, concat kernels) == separate blocks."""
+    import jax as _jax
+
+    from npe_tpu.models.common import VarBuilder, mdcl, mdcl_multi
+
+    vb = VarBuilder(_jax.random.PRNGKey(0))
+    scales = [2, 3, 4]
+    for name, cout in (("R", 2), ("G_a", 2), ("B_a", 3)):
+        vb.mdcl(name, 6, cout, scales)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 6))
+    fused = mdcl_multi(vb.v, ["R", "G_a", "B_a"], x, scales)
+    for name, out in zip(["R", "G_a", "B_a"], fused):
+        ref = mdcl(vb.v, name, x, scales)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=1e-3)
+
+
 def test_mdclw_overwrite_semantics():
     """mdclW places the base filter ON TOP of larger-scale copies
     (`layers.py:147`: enumerate backwards)."""
