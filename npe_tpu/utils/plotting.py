@@ -16,8 +16,6 @@ def plot_image_grid(images, num_rows, num_cols, save_path=None):
     grid = ImageGrid(figure, 111, (num_rows, num_cols), axes_pad=0.1)
     for image, axis in zip(images, grid):
         axis.imshow(np.asarray(image).transpose(1, 2, 0), interpolation="nearest")
-        axis.set_yticklabels(["" for _ in range(image.shape[1])])
-        axis.set_xticklabels(["" for _ in range(image.shape[2])])
         axis.axis("off")
     if save_path is None:
         plt.show()

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from npe_tpu.parallel.mesh import make_mesh, param_spec, shard_batch, shard_variables
 
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from npe_tpu.models import get_config
 from npe_tpu.training import losses as L
 from npe_tpu.training import train_step as TS

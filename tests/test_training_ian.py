@@ -12,6 +12,8 @@ from npe_tpu.training import train_step as TS
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", ["IAN", "IANv1"])
 def test_ian_full_gen_and_discrim_step(name):
