@@ -102,3 +102,27 @@ def load_train_state(fname):
     treedef = pickle.loads(stored.pop("__treedef__").tobytes())
     flat = [stored[f"leaf_{i}"] for i in range(len(stored))]
     return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+# --- orbax backend (optional) --------------------------------------------
+# For multi-host / sharded checkpoints: orbax writes per-shard array files
+# and restores onto the current mesh; the npz paths above stay the simple
+# single-host default.
+
+
+def save_train_state_orbax(path, state):
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+
+
+def load_train_state_orbax(path, like=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), like)
+        return ckptr.restore(os.path.abspath(path))

@@ -50,6 +50,21 @@ def test_train_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["vars"]["w"], 1)
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    pytest = __import__("pytest")
+    try:
+        from npe_tpu.utils.checkpoints import load_train_state_orbax, save_train_state_orbax
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax unavailable")
+    state = {"w": np.ones((3, 2), np.float32), "step": np.full((), 7, np.int32)}
+    p = str(tmp_path / "ckpt")
+    save_train_state_orbax(p, state)
+    out = load_train_state_orbax(p, like=state)
+    np.testing.assert_array_equal(out["w"], state["w"])
+    assert int(out["step"]) == 7
+
+
 def test_metrics_logger(tmp_path):
     f = str(tmp_path / "m.jsonl")
     log = MetricsLogger(f, reinitialize=True)
