@@ -55,10 +55,13 @@ class EditSession:
         dim=(10, 10),
         seed=42,
         use_pallas="auto",
+        dtype=None,
     ):
         """use_pallas: True/False/'auto' -- fuse the DELTA/MASK/composite
         tail into the Pallas VMEM kernel (ops/pallas/editor_kernels.py);
-        'auto' enables it on TPU backends only."""
+        'auto' enables it on TPU backends only.
+        dtype: jnp.bfloat16 runs the decode/grad hot path in the MXU-native
+        dtype (composite state stays float32)."""
         if use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
@@ -69,14 +72,21 @@ class EditSession:
             from npe_tpu.utils import checkpoints
 
             checkpoints.load_weights(weights_path, variables)
+        if dtype is not None:
+            from npe_tpu.utils.cast import cast_floating
+
+            variables = cast_floating(variables, dtype)
+        self._dtype = dtype or jnp.float32
         self.variables = variables
         self.dim = tuple(dim)
         zdim = self.module.cfg["num_latents"]
         assert self.dim[0] * self.dim[1] == zdim
         mod = self.module
 
+        in_dtype = self._dtype
+
         def _decode_hwc(v, z_flat):
-            return mod.decode(v, z_flat[None])[0]  # (H, W, C)
+            return mod.decode(v, z_flat[None].astype(in_dtype))[0].astype(jnp.float32)
 
         def _rgb_patch_loss(z_flat, v, c1, r1, c2, r2, rgb_hwc):
             xh = _decode_hwc(v, z_flat)
@@ -128,7 +138,7 @@ class EditSession:
 
         @jax.jit
         def _encode(v, x_hwc):
-            return mod.encode(v, x_hwc[None])[0]
+            return mod.encode(v, x_hwc[None].astype(in_dtype))[0].astype(jnp.float32)
 
         self._paint_fn = _paint_step
         self._scroll_fn = _scroll_step

@@ -69,6 +69,20 @@ def test_set_latents_roundtrip(session):
     np.testing.assert_allclose(session.Z_grid, zg, atol=1e-6)
 
 
+def test_bf16_session_close_to_f32(session):
+    import jax.numpy as jnp
+
+    from npe_tpu.editor.engine import EditSession
+
+    s16 = EditSession(config="IAN_simple", seed=0, dtype=jnp.bfloat16)
+    img = _fake_image()
+    session.infer(img)
+    s16.infer(img)
+    assert np.mean(np.abs(np.asarray(s16.Z) - np.asarray(session.Z))) < 0.2
+    im16 = s16.paint_stroke(10, 10, 20, 20, (255, 0, 0))
+    assert im16.dtype == np.float32 and np.isfinite(im16).all()
+
+
 def test_reset_and_update_gim(session):
     session.infer(_fake_image())
     session.paint_stroke(0, 0, 12, 12, (0, 255, 0))
