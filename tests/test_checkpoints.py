@@ -51,7 +51,8 @@ def test_train_state_roundtrip(tmp_path):
 
 
 def test_orbax_backend_roundtrip(tmp_path):
-    pytest = __import__("pytest")
+    import pytest
+
     try:
         from npe_tpu.utils.checkpoints import load_train_state_orbax, save_train_state_orbax
         import orbax.checkpoint  # noqa: F401
