@@ -18,19 +18,13 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def cast_tree(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if hasattr(x, "astype") and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-        tree,
-    )
-
-
 def main(batch=256, iters=20, warmup=3, dtype=jnp.bfloat16):
     from npe_tpu.models import get_config
+    from npe_tpu.utils.cast import cast_floating
 
     module = get_config("IAN_simple")
     variables = module.init(jax.random.PRNGKey(0))
-    v16 = cast_tree(variables, dtype)
+    v16 = cast_floating(variables, dtype)
 
     def encode_decode(v, x):
         z = module.encode(v, x)

@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_MS = 10.0
 
@@ -60,8 +61,6 @@ def main(iters=100, warmup=2):
     # Chain dispatches through z (data dependency) so blocking on the last
     # result forces every step; the brush box is a runtime arg so all steps
     # share ONE compiled program (one ~5-10 min axon compile, then ~2 ms/step).
-    import numpy as np
-
     rng = np.random.RandomState(1)
     boxes = [
         (int(a), int(b), int(a) + 12, int(b) + 12) for a, b in rng.randint(0, 48, (iters, 2))

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from npe_tpu.models import get_config
-from npe_tpu.models.common import split_trainable  # noqa: F401  (re-export)
 from npe_tpu.utils import checkpoints
 
 

@@ -103,12 +103,11 @@ class EditSession:
             from npe_tpu.ops.pallas.editor_kernels import edit_tail
 
             def _tail(xh, recon, error):
-                im = edit_tail(xh, recon, error, MASK_SIGMA)
-                return im, xh - recon, None
+                return edit_tail(xh, recon, error, MASK_SIGMA)
         else:
 
             def _tail(xh, recon, error):
-                return _mask_and_composite(xh, recon, error)
+                return _mask_and_composite(xh, recon, error)[0]
 
         @jax.jit
         def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, composite):
@@ -118,8 +117,7 @@ class EditSession:
             g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, rgb_hwc)
             z2 = z - PAINT_WEIGHT * g * (1.0 + (c2 - c1))
             xh = _decode_hwc(v, z2)
-            im, delta, mask = _tail(xh, recon, error)
-            im = jnp.where(composite, im, xh)
+            im = jnp.where(composite, _tail(xh, recon, error), xh)
             return z2, im, xh
 
         @jax.jit
@@ -132,8 +130,7 @@ class EditSession:
         @jax.jit
         def _composite_step(v, z, recon, error, composite):
             xh = _decode_hwc(v, z)
-            im, _, _ = _tail(xh, recon, error)
-            im = jnp.where(composite, im, xh)
+            im = jnp.where(composite, _tail(xh, recon, error), xh)
             return im, xh
 
         @jax.jit

@@ -109,6 +109,7 @@ class EditorService:
         self.session = session
         self.valid = valid
         self.lock = threading.Lock()
+        self._fallback_ds = None
 
     def state(self):
         s = self.session
@@ -151,10 +152,11 @@ class EditorService:
                 if self.valid is not None:
                     s.infer(to_tanh(np.float32(self.valid[idx % len(self.valid)])))
                 else:
-                    from npe_tpu.data import SyntheticFaces
+                    if self._fallback_ds is None:
+                        from npe_tpu.data import SyntheticFaces
 
-                    ds = SyntheticFaces(num_examples=4096)
-                    s.infer(to_tanh(np.float32(ds.get_data([idx])[0])))
+                        self._fallback_ds = SyntheticFaces(num_examples=4096)
+                    s.infer(to_tanh(np.float32(self._fallback_ds.get_data([idx])[0])))
             else:
                 raise KeyError(route)
             return self.state()

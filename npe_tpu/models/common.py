@@ -121,7 +121,7 @@ def mdcl_multi(v, names, x, scales):
     widths = []
     for name in names:
         coeffs = {s: v[f"{name}_coeff_{'1x1' if s == 0 else s}"] for s in scales}
-        k = compose_mdcl_kernel(x_dtype_kernel(v[f"{name}W"], x), v[f"{name}_coeff_base"], coeffs, scales)
+        k = compose_mdcl_kernel(v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
         kernels.append(k)
         widths.append(k.shape[-1])
     big = jnp.concatenate(kernels, axis=-1)
@@ -132,10 +132,6 @@ def mdcl_multi(v, names, x, scales):
         outs.append(out[..., start : start + w])
         start += w
     return outs
-
-
-def x_dtype_kernel(w, x):
-    return w.astype(x.dtype) if w.dtype != x.dtype else w
 
 
 def mdblock(v, upd, name, x, scales, act, train):

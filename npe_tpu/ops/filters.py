@@ -26,10 +26,8 @@ def gaussian_kernel_1d(sigma, truncate=4.0):
 
 
 def gaussian_blur_2d(img, sigma=0.7, truncate=4.0):
-    """Blur the last two... no: blurs a (H, W) image (reference MASK shape).
-
-    Matches scipy.ndimage.gaussian_filter(img, sigma) with mode='reflect'.
-    """
+    """Blur a (H, W) image (the editor MASK shape); matches
+    scipy.ndimage.gaussian_filter(img, sigma) with mode='reflect'."""
     k, r = gaussian_kernel_1d(sigma, truncate)
     k = jnp.asarray(k)
     # reflect (scipy) == numpy 'symmetric'

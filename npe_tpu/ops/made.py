@@ -27,6 +27,8 @@ Known reference limitation preserved: hidden sizes must equal the latent dim
 hidden size works -- but defaults mirror the reference ([num_latents]).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from npe_tpu.ops.initializers import orthogonal
@@ -108,8 +110,6 @@ def made_masks(input_size, hidden_sizes, seed=1234, n_shuffles=1, l=0.0, orderin
 def made_init(key, name, input_size, hidden_sizes, seed=1234, n_shuffles=1):
     """Init MADE params + mask state. Returns a flat dict keyed with the
     reference's parameter names (`layers.py:767-803`)."""
-    import jax
-
     init = orthogonal("relu")
     sizes = [input_size] + list(hidden_sizes)
     v = {}
@@ -153,6 +153,4 @@ def made_apply(v, name, z, n_hidden=1):
 
 def iaf_transform(z, mu, logsigma):
     """IAFLayer (reference `layers.py:641-650`): (z - mu) / exp(logsigma)."""
-    import jax.numpy as jnp
-
     return (z - mu) / jnp.exp(logsigma)

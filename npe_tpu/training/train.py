@@ -128,13 +128,16 @@ def train(
         offset = not offset
         lr = current_lr(cfg, epoch, lr)
         if native is not None:
-            from npe_tpu.utils.ranges import to_tanh as _tt
+            from npe_tpu.data.native_loader import native_chunk_loader
 
-            loader = (
-                _tt(np.float32(raw))
-                for raw in native.epoch(
-                    shuffle=cfg["shuffle"], seed=epoch, offset=offset * cfg["batch_size"] // 2
-                )
+            loader = native_chunk_loader(
+                cfg,
+                None,
+                None,
+                offset=offset * cfg["batch_size"] // 2,
+                shuffle=cfg["shuffle"],
+                seed=epoch,
+                loader=native,
             )
         else:
             loader = data_loader(
