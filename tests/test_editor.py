@@ -69,6 +69,19 @@ def test_set_latents_roundtrip(session):
     np.testing.assert_allclose(session.Z_grid, zg, atol=1e-6)
 
 
+def test_editor_works_with_full_ian():
+    """The editor is model-generic (plat contract): the full IAN config
+    (IAF latent path + RGB-Beta decoder) must drive the same session."""
+    from npe_tpu.editor.engine import EditSession
+
+    s = EditSession(config="IAN", seed=0)
+    s.infer(_fake_image())
+    z0 = np.asarray(s.Z).copy()
+    s.paint_stroke(8, 8, 24, 24, (255, 255, 255))
+    assert not np.allclose(z0, np.asarray(s.Z))
+    assert np.isfinite(s.IM).all()
+
+
 def test_bf16_session_close_to_f32(session):
     import jax.numpy as jnp
 
