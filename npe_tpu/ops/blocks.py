@@ -12,7 +12,7 @@ stay separate convs -- XLA fuses the elementwise sums.
 import jax.numpy as jnp
 
 from npe_tpu.ops.activations import elu
-from npe_tpu.ops.conv import avg_pool, conv2d, deconv2d, dilated_conv2d, upscale2d
+from npe_tpu.ops.conv import avg_pool, conv2d, deconv2d, dilated_conv2d, max_pool, upscale2d
 from npe_tpu.ops.initializers import normal, constant
 from npe_tpu.ops.linear import dense
 from npe_tpu.ops.mdcl import mdcl_apply
@@ -128,11 +128,13 @@ def inception_apply(v, upd, name, x, param_dicts, train=False, upscale=False):
             elif style == "dilation":
                 h = dilated_conv2d(h, v[f"{lname}.W"], d["dilation"][j])
             elif style == "pool":
+                mode = d.get("mode", ["average_exc_pad"] * len(d["style"]))[j]
+                pool = max_pool if mode == "max" else avg_pool
                 if upscale:
                     h = upscale2d(h, stride)
-                    h = avg_pool(h, d["filter_size"][j], 1, padding="SAME")
+                    h = pool(h, d["filter_size"][j], 1, padding="SAME")
                 else:
-                    h = avg_pool(h, d["filter_size"][j], stride, padding="SAME")
+                    h = pool(h, d["filter_size"][j], stride, padding="SAME")
             elif style == "dense":
                 h = dense(h, v[f"{lname}.W"], v[f"{lname}.b"])
             if nl is not None:

@@ -140,6 +140,19 @@ def avg_pool(x, window, stride, padding="VALID", count_include_pad=False):
     return summed / counts
 
 
+def max_pool(x, window, stride, padding="VALID"):
+    """Max pooling over NHWC spatial dims (reference Pool2DDNNLayer
+    mode='max', used by inception-style blocks)."""
+    window = (window, window) if isinstance(window, int) else tuple(window)
+    stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    pads = padding if isinstance(padding, str) else ((0, 0),) + tuple(padding) + ((0, 0),)
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1,) + window + (1,), (1,) + stride + (1,), pads
+    )
+
+
 def global_avg_pool(x):
     """GlobalPoolLayer equivalent (reference `IAN_simple.py:225`): NHWC->NC."""
     return jnp.mean(x, axis=(1, 2))
