@@ -59,6 +59,25 @@ def convert_to_theano_npz(variables, dst_path, metadata=None):
     return out
 
 
+def main():
+    """CLI: python -m npe_tpu.utils.convert <theano.npz> <out.npz>
+    [--reverse]."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--reverse", action="store_true", help="npe_tpu -> Theano layout")
+    a = p.parse_args()
+    if a.reverse:
+        with np.load(a.src, allow_pickle=False) as f:
+            variables = {k: f[k] for k in f.files if k != "__metadata__"}
+        convert_to_theano_npz(variables, a.dst)
+    else:
+        convert_theano_npz(a.src, a.dst)
+    print(f"wrote {a.dst}")
+
+
 def convert_theano_npz(src_path, dst_path, metadata=None):
     """Convert a reference checkpoint file to this framework's layout."""
     from npe_tpu.utils.checkpoints import METADATA_KEY, save_weights
@@ -74,3 +93,7 @@ def convert_theano_npz(src_path, dst_path, metadata=None):
     converted = {k: convert_param(k, v) for k, v in stored.items() if k != METADATA_KEY}
     save_weights(dst_path, converted, metadata or meta)
     return converted
+
+
+if __name__ == "__main__":
+    main()
