@@ -30,7 +30,13 @@ def make_mesh(shape=None, devices=None):
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    assert shape[0] * shape[1] == n, (shape, n)
+    if shape[0] * shape[1] != n:
+        raise ValueError(
+            f"mesh shape {shape} needs {shape[0] * shape[1]} devices but "
+            f"{n} are available ({[d.platform for d in devices]}); pass a "
+            f"matching shape= or provision more devices (e.g. "
+            f"--xla_force_host_platform_device_count)"
+        )
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("data", "model"))
 
