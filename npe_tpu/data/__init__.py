@@ -1,1 +1,7 @@
-from npe_tpu.data.datasets import SyntheticFaces, NpzImageDataset, data_loader, get_dataset  # noqa: F401
+from npe_tpu.data.datasets import (  # noqa: F401
+    NpzImageDataset,
+    RealPhotos64,
+    SyntheticFaces,
+    data_loader,
+    get_dataset,
+)

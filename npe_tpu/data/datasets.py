@@ -16,6 +16,8 @@ module provides:
     (`train_IAN.py:436-443`).
 """
 
+import os
+
 import numpy as np
 
 from npe_tpu.utils.ranges import to_tanh
@@ -64,6 +66,79 @@ class SyntheticFaces:
         return np.stack([self._one(int(i)) for i in indices])
 
 
+class RealPhotos64:
+    """Real-photograph 64x64 dataset: deterministic seeded random crops
+    (scale + flip jitter) from a pool of source photos. The reference trains
+    on CelebA via Fuel HDF5 (`train_IAN.py:415,441`), which cannot be
+    downloaded in this environment -- this class provides REAL natural-image
+    statistics (textures, edges, faces) from photos bundled with the Python
+    distribution (matplotlib's grace_hopper portrait, sklearn's china/flower)
+    or from any user-supplied directory of images (`source_dir=`), e.g. an
+    unpacked CelebA.
+
+    Crop protocol per index: pick a source photo, a scale in [0.2, 0.9] of
+    the short side, a position, and a horizontal flip -- all from a
+    RandomState seeded by the index, so the dataset is fully deterministic
+    and random-access (get_data(indices) contract)."""
+
+    def __init__(self, num_examples=8192, size=64, seed=11, source_dir=None):
+        self.num_examples = num_examples
+        self.size = size
+        self.seed = seed
+        self._photos = self._load_sources(source_dir)
+
+    @staticmethod
+    def _load_sources(source_dir):
+        from PIL import Image
+
+        photos = []
+        if source_dir:
+            import glob
+
+            paths = sorted(
+                p
+                for pat in ("*.jpg", "*.jpeg", "*.png", "*.bmp")
+                for p in glob.glob(os.path.join(source_dir, pat))
+            )
+            for p in paths:
+                photos.append(np.asarray(Image.open(p).convert("RGB")))
+        else:
+            import matplotlib
+
+            mpl_sample = os.path.join(matplotlib.get_data_path(), "sample_data")
+            for name in ("grace_hopper.jpg",):
+                p = os.path.join(mpl_sample, name)
+                if os.path.isfile(p):
+                    photos.append(np.asarray(Image.open(p).convert("RGB")))
+            try:
+                from sklearn.datasets import load_sample_images
+
+                photos.extend(np.asarray(im, np.uint8) for im in load_sample_images().images)
+            except Exception:
+                pass
+        if not photos:
+            raise FileNotFoundError("RealPhotos64: no source photos found")
+        return photos
+
+    def _one(self, idx):
+        from PIL import Image
+
+        rng = np.random.RandomState(self.seed * 2654435761 % (2**31) + idx)
+        photo = self._photos[rng.randint(len(self._photos))]
+        h, w = photo.shape[:2]
+        crop = int(min(h, w) * rng.uniform(0.2, 0.9))
+        y0 = rng.randint(h - crop + 1)
+        x0 = rng.randint(w - crop + 1)
+        patch = photo[y0 : y0 + crop, x0 : x0 + crop]
+        if rng.rand() < 0.5:
+            patch = patch[:, ::-1]
+        im = Image.fromarray(patch).resize((self.size, self.size), Image.BILINEAR)
+        return np.asarray(im, np.uint8).transpose(2, 0, 1)  # CHW
+
+    def get_data(self, indices):
+        return np.stack([self._one(int(i)) for i in indices])
+
+
 class NpzImageDataset:
     """(N, 3, H, W) uint8 images from an .npz (key 'arr_0', like the
     reference's CelebAValid.npz, `NPE.py:44`)."""
@@ -76,16 +151,19 @@ class NpzImageDataset:
         return self._data[np.asarray(indices)]
 
 
-def data_loader(cfg, dataset, offset=0, shuffle=False, seed=42):
+def data_loader(cfg, dataset, offset=0, shuffle=False, seed=42, raw=False):
     """Chunk generator (reference `train_IAN.py:357-374`): yields
-    to_tanh(float32) arrays of shape (chunk, 3, 64, 64)."""
+    to_tanh(float32) arrays of shape (chunk, 3, 64, 64); with raw=True the
+    chunks stay uint8 so the range conversion happens ON DEVICE
+    (ops.pallas.staging.stage_chunk) and the host ships 4x fewer bytes."""
     chunk_size = cfg["batch_size"] * cfg["batches_per_chunk"]
     rng = np.random.RandomState(seed)
     n = dataset.num_examples - offset
     index = rng.permutation(n) if shuffle else np.arange(n)
     for i in range(dataset.num_examples // chunk_size):
         sel = index[chunk_size * i : chunk_size * (i + 1)] + offset
-        yield to_tanh(np.float32(dataset.get_data(sel)))
+        data = dataset.get_data(sel)
+        yield np.uint8(data) if raw else to_tanh(np.float32(data))
 
 
 class Hdf5ImageDataset:
@@ -115,11 +193,15 @@ class Hdf5ImageDataset:
 
 
 def get_dataset(spec, num_examples=4096):
-    """'synthetic', a path to an .npz, or an .hdf5/.h5 (Fuel CelebA layout);
-    hdf5 specs accept 'file.hdf5:start:stop' split windows."""
+    """'synthetic', 'real' (bundled-photo crops), 'real:<dir>' (crops from a
+    directory of images), a path to an .npz, or an .hdf5/.h5 (Fuel CelebA
+    layout); hdf5 specs accept 'file.hdf5:start:stop' split windows."""
     if spec in (None, "synthetic"):
         return SyntheticFaces(num_examples=num_examples)
     s = str(spec)
+    if s == "real" or s.startswith("real:"):
+        src = s[len("real:"):] or None if s.startswith("real:") else None
+        return RealPhotos64(num_examples=num_examples, source_dir=src)
     if ".hdf5" in s or ".h5" in s:
         parts = s.split(":")
         path = parts[0]

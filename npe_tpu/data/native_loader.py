@@ -114,15 +114,16 @@ class NativeChunkLoader:
             pass
 
 
-def native_chunk_loader(cfg, path, num_records, record_shape=(3, 64, 64), offset=0, shuffle=False, seed=42, loader=None):
-    """Drop-in for `data.data_loader` backed by the native prefetcher."""
+def native_chunk_loader(cfg, path, num_records, record_shape=(3, 64, 64), offset=0, shuffle=False, seed=42, loader=None, raw=False):
+    """Drop-in for `data.data_loader` backed by the native prefetcher.
+    raw=True keeps chunks uint8 for on-device staging (stage_chunk)."""
     chunk = cfg["batch_size"] * cfg["batches_per_chunk"]
     own = loader is None
     if own:
         loader = NativeChunkLoader(path, num_records, record_shape, chunk)
     try:
-        for raw in loader.epoch(shuffle=shuffle, seed=seed, offset=offset):
-            yield to_tanh(np.float32(raw))
+        for u8 in loader.epoch(shuffle=shuffle, seed=seed, offset=offset):
+            yield u8 if raw else to_tanh(np.float32(u8))
     finally:
         if own:
             loader.close()

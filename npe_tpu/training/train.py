@@ -29,6 +29,7 @@ import numpy as np
 
 from npe_tpu.data import data_loader, get_dataset
 from npe_tpu.models import get_config
+from npe_tpu.ops.pallas.staging import stage_chunk
 from npe_tpu.training import train_step as TS
 from npe_tpu.training.eval_grids import sample_and_interp_grid
 from npe_tpu.utils import checkpoints
@@ -138,10 +139,16 @@ def train(
                 shuffle=cfg["shuffle"],
                 seed=epoch,
                 loader=native,
+                raw=True,
             )
         else:
             loader = data_loader(
-                cfg, dataset, offset=offset * cfg["batch_size"] // 2, shuffle=cfg["shuffle"], seed=epoch
+                cfg,
+                dataset,
+                offset=offset * cfg["batch_size"] // 2,
+                shuffle=cfg["shuffle"],
+                seed=epoch,
+                raw=True,
             )
         iter_counter = 0
         form = None
@@ -149,12 +156,20 @@ def train(
             iter_counter += 1
             num_batches = len(x_chunk) // cfg["batch_size"]
             perm = np.random.permutation(len(x_chunk))
-            # NCHW [0,255]->tanh already applied by loader; go NHWC on device
-            x_dev = jnp.asarray(x_chunk[perm].transpose(0, 2, 3, 1))
+            # Chunks arrive as raw uint8 NCHW; the host ships the bytes
+            # as-is (4x less host->device traffic than float32) and ONE
+            # jitted program does gather + cast + to_tanh + NHWC transpose
+            # on-chip (reference kept chunks device-resident the same way,
+            # train_IAN.py:478-484).
             if mesh is not None:
                 from npe_tpu.parallel.mesh import shard_batch
 
-                x_dev = shard_batch(x_dev, mesh)
+                # permute the uint8 bytes on host so the on-device gather
+                # doesn't become a cross-device all-to-all under GSPMD
+                u8_dev = shard_batch(jnp.asarray(x_chunk[perm]), mesh)
+                x_dev = stage_chunk(u8_dev, use_pallas=False)
+            else:
+                x_dev = stage_chunk(x_chunk, perm)
 
             # On-device trace of the first chunk when profiling is requested.
             if profile_dir and epoch == min_epoch and iter_counter == 1:

@@ -47,6 +47,29 @@ def test_edit_tail_matches_engine_math():
     np.testing.assert_allclose(np.asarray(im_kernel), np.asarray(im_engine), rtol=1e-3, atol=1e-4)
 
 
+def test_stage_chunk_equals_host_path():
+    """The wired training path (raw uint8 loader + on-device stage_chunk)
+    must produce exactly what the old host-side conversion produced."""
+    from npe_tpu.data import data_loader, get_dataset
+    from npe_tpu.ops.pallas.staging import stage_chunk
+    from npe_tpu.utils.ranges import to_tanh
+
+    cfg = {"batch_size": 4, "batches_per_chunk": 2}
+    ds = get_dataset("synthetic", num_examples=18)
+    old = list(data_loader(cfg, ds, offset=2, shuffle=True, seed=9))
+    new = list(data_loader(cfg, ds, offset=2, shuffle=True, seed=9, raw=True))
+    assert len(old) == len(new) and new[0].dtype == np.uint8
+    perm = np.random.RandomState(0).permutation(len(old[0]))
+    for f32_chunk, u8_chunk in zip(old, new):
+        want = f32_chunk[perm].transpose(0, 2, 3, 1)
+        got = np.asarray(stage_chunk(u8_chunk, perm, use_pallas=False))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(want, to_tanh(np.float32(u8_chunk[perm])).transpose(0, 2, 3, 1))
+        # no-perm variant (the sharded-mesh path)
+        got2 = np.asarray(stage_chunk(u8_chunk[perm], use_pallas=False))
+        np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-6)
+
+
 def test_stage_uint8_to_tanh():
     from npe_tpu.ops.pallas.staging import stage_uint8_to_tanh
 
