@@ -13,7 +13,11 @@ grid):
     GET  /state       current photo + latents
     POST /paint       {x1,y1,x2,y2,rgb:[r,g,b]}        brush stroke
     POST /scroll      {x1,y1,x2,y2,direction}          lighten/darken
-    POST /latents     {grid: [[...10x10...]]}          latent painting
+    POST /latents     {grid: [[...10x10...]]}          set the whole grid
+    POST /latent_paint {x1,y1,x2,y2,value}             free-form brush on the
+                      160x160 latent canvas; Z = per-cell mean pooling of the
+                      painted canvas (reference `NPE.py:277-302`)
+    POST /latent_cell {i,j,value}                      set one cell
     POST /sample      {seed?}                          Z ~ N(0,1)
     POST /reset       {}
     POST /update_gim  {}
@@ -84,11 +88,14 @@ photo.addEventListener('mousemove',e=>{if(!painting)return;
 photo.addEventListener('wheel',e=>{e.preventDefault();
   const[x1,y1,x2,y2]=box(e,photo);
   post('/scroll',{x1,y1,x2,y2,direction:e.deltaY<0?1:-1});});
-latent.addEventListener('mousemove',e=>{if(!painting)return;
+function latentPaint(e){
   const r=latent.getBoundingClientRect();
-  const j=Math.floor((e.clientX-r.left)/16),i=Math.floor((e.clientY-r.top)/16);
-  post('/latent_cell',{i,j,value:document.getElementById('lval').value/255});});
-latent.addEventListener('mousedown',()=>painting=true);
+  const x=e.clientX-r.left,y=e.clientY-r.top;
+  const d=Math.max(2,Math.floor(document.getElementById('size').value/4));
+  post('/latent_paint',{x1:x-d,y1:y-d,x2:x+d,y2:y+d,
+    value:document.getElementById('lval').value/255});}
+latent.addEventListener('mousemove',e=>{if(painting)latentPaint(e);});
+latent.addEventListener('mousedown',e=>{painting=true;latentPaint(e);});
 function infer(){post('/infer',{index:parseInt(document.getElementById('idx').value)})}
 fetch('/state').then(r=>r.json()).then(draw);
 </script></body></html>"""
@@ -105,11 +112,31 @@ def _png_b64(arr_u8_hwc):
 class EditorService:
     """JSON-level editor operations over an EditSession (thread-safe)."""
 
+    RES = 16  # canvas px per latent cell (160x160 canvas, 10x10 grid)
+
     def __init__(self, session, valid=None):
         self.session = session
         self.valid = valid
         self.lock = threading.Lock()
         self._fallback_ds = None
+
+    def _latent_paint(self, body):
+        """Free-form latent painting (reference `NPE.py:277-302`): fill the
+        brush rect on the 160x160 canvas mirror, then Z = per-cell mean of
+        the painted canvas. The mirror is re-tiled from Z before each event
+        (the reference's update_canvas runs after every operation, so the
+        canvas never carries sub-cell state between events)."""
+        s = self.session
+        zg = np.asarray(s.Z_grid, np.float32)
+        r = np.repeat(np.repeat(zg, self.RES, 0), self.RES, 1)
+        y1 = max(int(body["y1"]), 0)
+        y2 = min(int(body["y2"]), r.shape[0])
+        x1 = max(int(body["x1"]), 0)
+        x2 = min(int(body["x2"]), r.shape[1])
+        if y2 > y1 and x2 > x1:
+            r[y1:y2, x1:x2] = float(body["value"])
+        pooled = r.reshape(zg.shape[0], self.RES, zg.shape[1], self.RES).mean(axis=(1, 3))
+        s.set_latents(pooled)
 
     def state(self):
         s = self.session
@@ -137,6 +164,8 @@ class EditorService:
                 s.scroll_patch(body["x1"], body["y1"], body["x2"], body["y2"], body["direction"])
             elif route == "/latents":
                 s.set_latents(np.asarray(body["grid"], np.float32))
+            elif route == "/latent_paint":
+                self._latent_paint(body)
             elif route == "/latent_cell":
                 zg = s.Z_grid.copy()
                 zg[int(body["i"]), int(body["j"])] = float(body["value"])

@@ -68,6 +68,42 @@ def test_latent_painting(server_url):
     assert abs(st["z"][2][3] + 0.5) < 1e-5
 
 
+def test_latent_paint_free_form(server_url):
+    """Free-form latent painting (reference `NPE.py:277-302`): Z must be the
+    per-cell mean pooling of the painted 160x160 canvas."""
+    # known starting grid
+    base = np.full((10, 10), 0.25, np.float32)
+    _post(server_url, "/latents", {"grid": base.tolist()})
+    # paint a 8x8 box fully inside cell (1,2): covers 64/256 of the cell
+    st = _post(
+        server_url,
+        "/latent_paint",
+        {"x1": 2 * 16 + 4, "y1": 1 * 16 + 4, "x2": 2 * 16 + 12, "y2": 1 * 16 + 12, "value": 1.0},
+    )
+    z = np.asarray(st["z"])
+    want = (0.25 * (256 - 64) + 1.0 * 64) / 256
+    assert abs(z[1][2] - want) < 1e-5
+    # all other cells untouched
+    mask = np.ones((10, 10), bool)
+    mask[1, 2] = False
+    np.testing.assert_allclose(z[mask], 0.25, atol=1e-5)
+    # a full-cell box sets the exact value; a straddling box splits its mean
+    _post(server_url, "/latents", {"grid": np.zeros((10, 10)).tolist()})
+    st = _post(
+        server_url,
+        "/latent_paint",
+        {"x1": 48, "y1": 0, "x2": 72, "y2": 16, "value": -0.5},
+    )
+    z = np.asarray(st["z"])
+    assert abs(z[0][3] + 0.5) < 1e-5  # fully covered cell
+    assert abs(z[0][4] + 0.5 * 8 / 16) < 1e-5  # half covered
+    # out-of-range boxes clamp, like the reference's max/min guards
+    st = _post(
+        server_url, "/latent_paint", {"x1": -30, "y1": -30, "x2": 8, "y2": 8, "value": 1.0}
+    )
+    assert abs(np.asarray(st["z"])[0][0] - (-0.5 * 0 + 1.0 * 64 / 256 + 0.0 * 192 / 256)) < 1e-2
+
+
 def test_unknown_route_404(server_url):
     req = urllib.request.Request(server_url + "/nope", data=b"{}", method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:
