@@ -18,7 +18,7 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def main(batch=256, iters=20, warmup=3, dtype=jnp.bfloat16):
+def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16):
     from npe_tpu.models import get_config
     from npe_tpu.utils.cast import cast_floating
 
@@ -44,10 +44,17 @@ def main(batch=256, iters=20, warmup=3, dtype=jnp.bfloat16):
     for _ in range(warmup):
         checksum = float(chained(v16, x))
 
-    t0 = time.perf_counter()
-    checksum = float(chained(v16, x))
-    dt = time.perf_counter() - t0
+    # Median over several timed rounds (each round is `iters` chained
+    # on-device passes; the float() fetch is the host sync point).
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        checksum = float(chained(v16, x))
+        times.append(time.perf_counter() - t0)
     assert jnp.isfinite(checksum)
+    times.sort()
+    dt = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / dt
 
     imgs_per_sec = batch * iters / dt
     print(
@@ -57,6 +64,9 @@ def main(batch=256, iters=20, warmup=3, dtype=jnp.bfloat16):
                 "value": round(imgs_per_sec, 1),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+                "p50_round_ms": round(dt * 1000, 2),
+                "spread_frac": round(spread, 3),
+                "rounds": rounds,
             }
         )
     )

@@ -1,43 +1,61 @@
-"""Append-only JSONL metrics log (reference `metrics_logging.py:8-40`):
-each record gets a `_stamp` epoch-time; the reader skips torn trailing
-lines."""
+"""Append-only JSONL metrics stream.
+
+Keeps the reference's observable contract (`metrics_logging.py:8-40`): one
+JSON object per line, a `_stamp` epoch-time on every record, delete-on-init
+when not resuming, and a reader that tolerates a torn trailing line from a
+crashed writer. The implementation is this framework's own: a frozen
+dataclass handle, records written with explicit flush so a kill mid-epoch
+loses at most the in-flight line, and an iterator-based reader."""
 
 import json
 import os
 import time
+from dataclasses import dataclass
 
 
+@dataclass(frozen=True)
 class MetricsLogger:
-    def __init__(self, fname, reinitialize=False):
-        self.fname = str(fname)
-        self.reinitialize = reinitialize
-        if os.path.exists(self.fname) and reinitialize:
-            print(f"{self.fname} exists, deleting")
-            os.remove(self.fname)
+    fname: str
+    reinitialize: bool = False
 
-    def log(self, record=None, **kwargs):
-        """Assumes a single process; records are JSON-serializable."""
-        record = {} if record is None else dict(record)
-        record.update(kwargs)
-        record["_stamp"] = time.time()
-        with open(self.fname, "a") as f:
-            f.write(json.dumps(record, ensure_ascii=True) + "\n")
+    def __post_init__(self):
+        path = str(self.fname)
+        object.__setattr__(self, "fname", path)
+        if self.reinitialize and os.path.exists(path):
+            print(f"{path} exists, deleting")
+            os.remove(path)
+
+    def log(self, record=None, **fields):
+        """Append one record (single-writer assumption, like the reference)."""
+        rec = {**(record or {}), **fields, "_stamp": time.time()}
+        line = json.dumps(rec, ensure_ascii=True)
+        with open(self.fname, "a") as fh:
+            fh.write(line + "\n")
+            fh.flush()
+
+
+def iter_records(fname):
+    """Yield records one by one; silently stop counting a torn/corrupt line
+    (a crashed writer can only tear the tail)."""
+    with open(fname) as fh:
+        for raw in fh:
+            if not raw.endswith("\n"):
+                yield None
+                continue
+            try:
+                yield json.loads(raw)
+            except ValueError:
+                yield None
 
 
 def read_records(fname):
-    """Load all records from the file, skipping torn trailing lines
-    (reference `metrics_logging.py:30-40`)."""
-    skipped = 0
-    records = []
-    with open(fname, "r") as f:
-        for line in f:
-            if not line.endswith("\n"):
-                skipped += 1
-                continue
-            try:
-                records.append(json.loads(line.strip()))
-            except ValueError:
-                skipped += 1
-    if skipped:
-        print(f"skipped {skipped} torn/corrupt lines in {fname}")
-    return records
+    """All intact records in the file; reports how many lines were skipped."""
+    out, bad = [], 0
+    for rec in iter_records(fname):
+        if rec is None:
+            bad += 1
+        else:
+            out.append(rec)
+    if bad:
+        print(f"skipped {bad} torn/corrupt lines in {fname}")
+    return out
