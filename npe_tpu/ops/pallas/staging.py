@@ -3,8 +3,17 @@
 The reference stages host numpy chunks onto the GPU via shared-variable
 set_value and converts ranges on the host (`train_IAN.py:371,478`). Here the
 uint8 bytes ship to HBM (4x less PCIe/ICI traffic than float32) and a
-gridded Pallas kernel does the cast + to_tanh + NCHW->NHWC transpose on-chip,
-one image per grid step so Mosaic pipelines HBM->VMEM loads with compute.
+gridded Pallas kernel does the cast + to_tanh on-chip over a flat
+(N, C*H*W) view, blocks of rows per grid step so Mosaic pipelines
+HBM->VMEM loads with compute.
+
+Layout note (learned from a real v5e OOM): a pallas_call output is forced
+to the default tiled layout, so emitting NHWC f32 directly pads the
+trailing C=3 dim to 128 — 42x HBM expansion, 16G for an 8192-image chunk.
+The kernel therefore stays elementwise on the flat view (minor dim
+C*H*W = 12288, a multiple of 128 -> zero padding) and the NCHW->NHWC
+transpose happens outside in XLA, whose layout assignment handles
+trailing-3 arrays fine.
 """
 
 from functools import partial
@@ -15,27 +24,35 @@ import jax.numpy as jnp
 
 def _kernel(u8_ref, out_ref):
     # Mosaic has no direct uint8->f32 cast; hop through int32.
-    x = u8_ref[:].astype(jnp.int32).astype(jnp.float32)  # (1, 3, H, W) block
-    x = 2.0 * (x / 255.0) - 1.0
-    out_ref[:] = jnp.transpose(x, (0, 2, 3, 1))
+    x = u8_ref[:].astype(jnp.int32).astype(jnp.float32)
+    out_ref[:] = x * (2.0 / 255.0) - 1.0
+
+
+def _row_block(n):
+    # 64 rows x 12288 f32 out = 3M/block; with in + double buffering ~8M,
+    # safely inside the 16M scoped-vmem limit (256 rows OOMs on v5e).
+    for b in (64, 32, 16, 8, 4, 2, 1):
+        if n % b == 0:
+            return b
+    return 1
 
 
 def stage_uint8_to_tanh(chunk_u8, interpret=False):
     """chunk_u8: (N, 3, H, W) uint8 -> (N, H, W, 3) float32 in [-1, 1]."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n, c, h, w = chunk_u8.shape
-    return pl.pallas_call(
+    f = c * h * w
+    bn = _row_block(n)
+    flat = pl.pallas_call(
         _kernel,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+        grid=(n // bn,),
+        in_specs=[pl.BlockSpec((bn, f), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((bn, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
         interpret=interpret,
-    )(chunk_u8)
+    )(chunk_u8.reshape(n, f))
+    return jnp.transpose(flat.reshape(n, c, h, w), (0, 2, 3, 1))
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))
