@@ -42,3 +42,84 @@ def test_oversize_group_split(server):
     assert out.shape == (20, 64, 64, 3)
     direct = np.asarray(server.module.decode(server.variables, z[:2]))
     np.testing.assert_allclose(out[:2], direct, rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_ops_all_resolve(server):
+    """Interleaved encode/decode requests all complete (the op-switch parks
+    the request at the FRONT of the pending deque -- no starvation behind
+    newer arrivals)."""
+    rng = np.random.RandomState(3)
+    futs = []
+    for i in range(8):
+        if i % 2:
+            futs.append(("d", server.decode(rng.randn(1, 100).astype(np.float32))))
+        else:
+            futs.append(("e", server.encode(rng.rand(1, 64, 64, 3).astype(np.float32))))
+    for kind, f in futs:
+        out = f.result(timeout=240)
+        assert out.shape == ((1, 100) if kind == "e" else (1, 64, 64, 3))
+
+
+def test_request_timeout():
+    """A request whose deadline passes while queued fails with TimeoutError
+    instead of occupying batch slots."""
+    import time
+
+    from npe_tpu.serving import InferenceServer
+
+    s = InferenceServer(config="IAN_simple", max_batch=4, linger_ms=1.0, seed=0)
+    try:
+        # prime compile so the blocker below isn't just compile time
+        s.decode(np.zeros((1, 100), np.float32)).result(timeout=300)
+        blocker = s.decode(np.zeros((4, 100), np.float32))
+        doomed = s.decode(np.zeros((1, 100), np.float32), timeout=1e-4)
+        time.sleep(0.05)
+        with pytest.raises(TimeoutError):
+            doomed.result(timeout=120)
+        blocker.result(timeout=120)
+    finally:
+        s.close()
+
+
+def test_kernel_error_propagates(server):
+    """A bad input shape fails THAT request's future; the server survives."""
+    bad = server.decode(np.zeros((2, 7), np.float32))  # wrong latent width
+    with pytest.raises(Exception):
+        bad.result(timeout=240)
+    ok = server.decode(np.zeros((2, 100), np.float32)).result(timeout=240)
+    assert ok.shape == (2, 64, 64, 3)
+
+
+def test_http_transport():
+    """JSON-over-HTTP round trip against the in-process server."""
+    import json
+    import threading
+    import urllib.request
+
+    from npe_tpu.serving import InferenceServer, serve_http
+
+    s = InferenceServer(config="IAN_simple", max_batch=4, linger_ms=1.0, seed=0)
+    httpd = serve_http(s, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"] is True
+        z = np.random.RandomState(4).randn(2, 100).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/decode",
+            data=json.dumps({"data": z.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.asarray(json.load(r)["result"], np.float32)
+        assert out.shape == (2, 64, 64, 3)
+        direct = np.asarray(s.module.decode(s.variables, z))
+        np.testing.assert_allclose(out, direct, rtol=1e-3, atol=1e-4)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] >= 1 and stats["batches"] >= 1
+    finally:
+        httpd.shutdown()
+        s.close()
