@@ -51,11 +51,40 @@ def compose_mdcl_kernel(w, coeff_base, scale_coeffs, scales):
     return big
 
 
-def mdcl_apply(x, w, coeff_base, scale_coeffs, scales):
-    """One fused conv implementing the whole MDCL block ('same' padding)."""
+# Global default for mdcl_apply's mode (models pass mode=None). "fused"
+# composes one dense kernel; "branch" runs the dilated branches separately.
+# The fused kernel is one MXU op but computes every structurally-zero tap:
+# for scales [0,2,3] that is 49 dense taps where only ~26 are nonzero, so
+# on FLOP-bound stages the branch form can win; profile with
+# bench_stages.py --mdcl-mode and pick per deployment.
+DEFAULT_MODE = "fused"
+
+
+def mdcl_apply(x, w, coeff_base, scale_coeffs, scales, mode=None):
+    """The whole MDCL block ('same' padding). mode: 'fused' (one composed
+    conv) | 'branch' (per-scale dilated convs, no zero taps) | None
+    (DEFAULT_MODE). Both modes are numerically equivalent (test_mdcl.py)."""
+    mode = mode or DEFAULT_MODE
+    if mode == "branch":
+        return mdcl_apply_branch(x, w, coeff_base, scale_coeffs, scales)
     k = compose_mdcl_kernel(w, coeff_base, scale_coeffs, scales)
     pad = k.shape[0] // 2
     return conv2d(x, k, stride=1, padding=pad)
+
+
+def mdcl_apply_branch(x, w, coeff_base, scale_coeffs, scales):
+    """Branch-per-scale MDCL: base 3x3 + 1x1 mean-filter + one dilated 3x3
+    per scale, each with its per-output-channel coefficient folded into the
+    kernel (reference `layers.py:207-258` branch semantics, minus the
+    elementwise-sum layers -- XLA fuses the adds into the conv epilogues)."""
+    out = conv2d(x, w * coeff_base, stride=1, padding=1)
+    for s in scales:
+        if s == 0:
+            k1 = jnp.mean(w, axis=(0, 1), keepdims=True) * scale_coeffs[0]
+            out = out + conv2d(x, k1, stride=1, padding=0)
+        else:
+            out = out + conv2d(x, w * scale_coeffs[s], stride=1, padding=s, rhs_dilation=s)
+    return out
 
 
 def mdclw_kernel(w, coeffs, scales):

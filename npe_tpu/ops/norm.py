@@ -69,3 +69,23 @@ def batch_renorm_apply(x, beta, gamma, mean, inv_std, rmax, dmax, train):
     new_mean = (1 - ALPHA) * mean + ALPHA * mu
     new_inv_std = (1 - ALPHA) * inv_std + ALPHA * istd
     return y, (new_mean, new_inv_std)
+
+
+def renorm_schedule(itr, rmax_max=3.0, dmax_max=5.0, ramp_start=1000, ramp_end=5000):
+    """RMAX/DMAX annealing for batch_renorm_apply: identity-clips (r=1, d=0)
+    until `ramp_start` iterations, then a linear ramp to (rmax_max, dmax_max)
+    by `ramp_end` -- the protocol of arXiv 1702.03275 section 3, with the
+    reference's faster-ramp advice (`layers.py:38-45`: "you may need to
+    increase RMAX between 1k and 5k iterations rather than 5k and 25k")
+    as the default window. `itr` may be a traced integer (use inside jit) or
+    a Python int (use from the epoch loop); returns (rmax, dmax) scalars.
+
+    Config wiring: a model config may set
+        cfg["batch_renorm"] = {"rmax_max": 3.0, "dmax_max": 5.0,
+                               "ramp_start": 1000, "ramp_end": 5000}
+    and pass the scheduled values to batch_renorm_apply each step.
+    """
+    frac = jnp.clip((itr - ramp_start) / max(1, ramp_end - ramp_start), 0.0, 1.0)
+    rmax = 1.0 + frac * (rmax_max - 1.0)
+    dmax = frac * dmax_max
+    return rmax, dmax

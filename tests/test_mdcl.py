@@ -105,3 +105,20 @@ def test_subpixel_shuffle():
                         assert y[0, h * r + dx, w_ * r + dy, ch] == x[
                             0, h, w_, ch * r * r + dx * r + dy
                         ]
+
+
+def test_mdcl_branch_mode_equals_fused():
+    """mdcl_apply(mode='branch') (the profile-selectable no-zero-taps path)
+    must match mode='fused' and the literal reference branches."""
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (2, 16, 16, 6))
+    w = jax.random.normal(ks[1], (3, 3, 6, 4)) * 0.1
+    for scales in ([0, 2], [0, 2, 3], [2, 3, 4]):
+        coeff_base = jax.random.normal(ks[2], (4,))
+        scale_coeffs = {s: jax.random.normal(ks[3 + i % 3], (4,)) for i, s in enumerate(scales)}
+        br = mdcl_apply(x, w, coeff_base, scale_coeffs, scales, mode="branch")
+        fused = mdcl_apply(x, w, coeff_base, scale_coeffs, scales, mode="fused")
+        ref = _branch_reference(x, w, coeff_base, scale_coeffs, scales)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(ref), rtol=2e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(fused), rtol=2e-2, atol=1e-2)

@@ -79,3 +79,35 @@ def test_beta_mean():
     b = jnp.array([1.0, 0.0])
     out = beta_mean(a, b)
     np.testing.assert_allclose(np.asarray(out), [0.0, 1.0], atol=1e-6)
+
+
+def test_renorm_schedule_ramp():
+    """Identity clips before the ramp, full clips after, monotone between;
+    works both with Python ints and traced values."""
+    import jax
+
+    from npe_tpu.ops.norm import renorm_schedule
+
+    r0, d0 = renorm_schedule(0)
+    assert float(r0) == 1.0 and float(d0) == 0.0
+    r1, d1 = renorm_schedule(3000)
+    assert 1.0 < float(r1) < 3.0 and 0.0 < float(d1) < 5.0
+    r2, d2 = renorm_schedule(10_000)
+    assert float(r2) == 3.0 and float(d2) == 5.0
+    rj, dj = jax.jit(renorm_schedule)(jnp.int32(10_000))
+    assert float(rj) == 3.0 and float(dj) == 5.0
+
+
+def test_renorm_schedule_feeds_renorm():
+    """Scheduled clips at itr=0 make renorm equal plain BN even when the
+    running stats DISAGREE with batch stats (r/d clipped to identity)."""
+    from npe_tpu.ops.norm import renorm_schedule
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 6).astype(np.float32) * 2 + 1)
+    beta, gamma = jnp.zeros(6), jnp.ones(6)
+    mean, istd = jnp.full(6, 5.0), jnp.full(6, 0.25)  # wildly off
+    rmax, dmax = renorm_schedule(0)
+    y_rn, _ = batch_renorm_apply(x, beta, gamma, mean, istd, rmax, dmax, train=True)
+    y_bn, _ = batch_norm_apply(x, beta, gamma, mean, istd, train=True)
+    np.testing.assert_allclose(np.asarray(y_rn), np.asarray(y_bn), rtol=1e-5, atol=1e-5)
