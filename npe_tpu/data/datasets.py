@@ -160,7 +160,7 @@ def data_loader(cfg, dataset, offset=0, shuffle=False, seed=42, raw=False):
     rng = np.random.RandomState(seed)
     n = dataset.num_examples - offset
     index = rng.permutation(n) if shuffle else np.arange(n)
-    for i in range(dataset.num_examples // chunk_size):
+    for i in range(n // chunk_size):
         sel = index[chunk_size * i : chunk_size * (i + 1)] + offset
         data = dataset.get_data(sel)
         yield np.uint8(data) if raw else to_tanh(np.float32(data))

@@ -20,9 +20,15 @@ def validation_pixel_accuracy(module, variables, dataset, cfg, max_chunks=None):
         x_hat = module.decode(v, z)
         return jnp.mean((x_hat - x) ** 2)
 
+    # clamp the chunk size so validation sets smaller than a training chunk
+    # still produce at least one chunk
+    vcfg = dict(cfg)
+    vcfg["batches_per_chunk"] = max(
+        1, min(cfg["batches_per_chunk"], dataset.num_examples // cfg["batch_size"] - 1)
+    )
     errs = []
     for o in range(2):
-        loader = data_loader(cfg, dataset, offset=o * cfg["batch_size"] // 2)
+        loader = data_loader(vcfg, dataset, offset=o * vcfg["batch_size"] // 2)
         for ci, chunk in enumerate(loader):
             if max_chunks is not None and ci >= max_chunks:
                 break

@@ -51,6 +51,18 @@ def current_lr(cfg, epoch, lr):
     return lr
 
 
+def restore_masks(loaded, fresh_state):
+    """The train state persists the MADE masks (the IAF connectivity
+    ordering), so resume uses the checkpointed ones rather than regenerating
+    from init -- robust even if the mask protocol or n_shuffles changes
+    between runs. Backfill from fresh init only for train states that
+    predate mask persistence."""
+    for k, v in fresh_state["parts"]["state"].items():
+        if k.endswith(".weights_mask") and k not in loaded["parts"]["state"]:
+            loaded["parts"]["state"][k] = v
+    return loaded
+
+
 def train(
     config="IAN_simple",
     dataset_spec="synthetic",
@@ -64,6 +76,8 @@ def train(
     checkpoint_grids=True,
     cfg_overrides=None,
     profile_dir=None,
+    valid_dataset_spec=None,
+    num_valid_examples=1024,
 ):
     module = get_config(config)
     cfg = dict(module.cfg)
@@ -89,12 +103,7 @@ def train(
     min_epoch = 0
     lr = float(cfg["learning_rate"][0] if isinstance(cfg["learning_rate"], dict) else cfg["learning_rate"])
     if resume and os.path.isfile(state_fname):
-        loaded = checkpoints.load_train_state(state_fname)
-        # masks are not saved with trainables; re-attach from fresh init
-        for k, v in state["parts"]["state"].items():
-            if k.endswith(".weights_mask"):
-                loaded["parts"]["state"][k] = v
-        state = loaded
+        state = restore_masks(checkpoints.load_train_state(state_fname), state)
         meta = checkpoints.load_weights(weights_fname, {}) if os.path.isfile(weights_fname) else {}
         min_epoch = int(meta.get("epoch", -1)) + 1
         itr = int(meta.get("itr", 0))
@@ -121,7 +130,19 @@ def train(
         dataset = get_dataset("synthetic", num_examples=num_examples)  # for grids
     else:
         dataset = get_dataset(dataset_spec, num_examples=num_examples)
+    valid_dataset = (
+        get_dataset(valid_dataset_spec, num_examples=num_valid_examples)
+        if valid_dataset_spec
+        else None
+    )
     update_ratio = cfg["update_ratio"]
+    # Optional deviation from the reference (documented in docs/PARITY.md):
+    # when the discriminator's running 3-way/binary accuracy exceeds
+    # `adaptive_ratio_acc`, its updates are skipped (the step trains G
+    # instead) until accuracy drops back -- the standard guard against D
+    # saturation. Off (None) by default = faithful alternation.
+    adaptive_acc = cfg.get("adaptive_ratio_acc")
+    d_acc_ema = 0.5
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
 
@@ -180,7 +201,10 @@ def train(
                 xb = jax.lax.dynamic_slice_in_dim(x_dev, bi * cfg["batch_size"], cfg["batch_size"])
                 rng, kz, ks = jax.random.split(rng, 3)
                 z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
-                if itr % (update_ratio + 1) == 0:
+                do_gen = itr % (update_ratio + 1) == 0
+                if adaptive_acc is not None and not do_gen and d_acc_ema > adaptive_acc:
+                    do_gen = True
+                if do_gen:
                     state, m = gen_step(state, xb, z_rand, ks, lr)
                     for k in GEN_KEYS:
                         metrics[k].append(m[k])
@@ -188,6 +212,8 @@ def train(
                     state, m = discrim_step(state, xb, z_rand, ks, lr)
                     for k in DISCRIM_KEYS:
                         metrics[k].append(m[k])
+                    if adaptive_acc is not None:
+                        d_acc_ema = 0.9 * d_acc_ema + 0.1 * float(m["discrim_acc"])
                 itr += 1
 
             if profile_dir and epoch == min_epoch and iter_counter == 1:
@@ -219,6 +245,12 @@ def train(
             meta = {"epoch": epoch, "itr": itr, "ts": time.time(), "learning_rate": lr}
             checkpoints.save_weights(weights_fname, variables, meta)
             checkpoints.save_train_state(state_fname, jax.device_get(state))
+            if valid_dataset is not None:
+                from npe_tpu.training.evaluate import validation_pixel_accuracy
+
+                ev = validation_pixel_accuracy(module, variables, valid_dataset, cfg, max_chunks=1)
+                logging.info("validation: pixel_acc=%.4f mse=%.4f", ev["test_error"], ev["mse"])
+                mlog.log(epoch=epoch, itr=itr, validation=ev)
 
     logging.info("training done")
     return state
@@ -228,7 +260,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("config_path", help="model config name or path (IAN, IANv1, IAN_simple)")
     p.add_argument("--resume", type=bool, default=False)
-    p.add_argument("--dataset", default="synthetic", help="'synthetic' or path to .npz")
+    p.add_argument(
+        "--dataset",
+        default="synthetic",
+        help="'synthetic', 'real', 'real:<dir>', path to .npz/.hdf5, or 'native:<raw>'",
+    )
+    p.add_argument("--valid-dataset", default=None, help="validation dataset spec")
+    p.add_argument("--out-dir", default=".", help="where checkpoints/metrics are written")
+    p.add_argument("--pics-dir", default="pics", help="where sample grids are written")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--num-examples", type=int, default=4096)
     p.add_argument("--data-parallel", action="store_true", help="shard over all devices")
@@ -255,9 +294,12 @@ def main():
         resume=a.resume,
         max_epochs=a.max_epochs,
         num_examples=a.num_examples,
+        out_dir=a.out_dir,
+        pics_dir=a.pics_dir,
         mesh=mesh,
         cfg_overrides=overrides,
         profile_dir=a.profile_dir,
+        valid_dataset_spec=a.valid_dataset,
     )
 
 

@@ -51,6 +51,40 @@ def test_train_driver_single_device(tmp_path):
     assert [r["epoch"] for r in recs] == [0, 0, 1, 1]
 
 
+def test_restore_masks_prefers_checkpointed():
+    """Resume must keep the checkpointed MADE masks (the persisted IAF
+    ordering), only backfilling from fresh init when a mask is absent."""
+    from npe_tpu.training.train import restore_masks
+
+    fresh = {"parts": {"state": {"a.weights_mask": np.ones(4), "b.weights_mask": np.full(4, 2.0)}}}
+    loaded = {"parts": {"state": {"a.weights_mask": np.full(4, 7.0)}}}
+    out = restore_masks(loaded, fresh)
+    np.testing.assert_array_equal(out["parts"]["state"]["a.weights_mask"], 7.0)
+    np.testing.assert_array_equal(out["parts"]["state"]["b.weights_mask"], 2.0)
+
+
+def test_train_driver_validation_logging(tmp_path):
+    """--valid-dataset wires validation_pixel_accuracy into the epoch loop
+    and logs a 'validation' record per checkpoint epoch."""
+    train(
+        config="IAN_simple",
+        dataset_spec="synthetic",
+        num_examples=32,
+        out_dir=str(tmp_path),
+        pics_dir=str(tmp_path / "pics"),
+        checkpoint_grids=False,
+        cfg_overrides=_overrides(),
+        seed=3,
+        valid_dataset_spec="synthetic",
+        num_valid_examples=32,
+    )
+    recs = read_records(str(tmp_path / "IAN_simpleMETRICS.jsonl"))
+    vrecs = [r for r in recs if "validation" in r]
+    assert len(vrecs) == 1
+    assert np.isfinite(vrecs[0]["validation"]["test_error"])
+    assert np.isfinite(vrecs[0]["validation"]["mse"])
+
+
 def test_train_driver_mesh(tmp_path):
     from npe_tpu.parallel.mesh import make_mesh
 
