@@ -32,16 +32,25 @@ PAINT_WEIGHT = 0.05
 SCROLL_WEIGHT = 0.1
 # Mask blur sigma (`NPE.py:224`).
 MASK_SIGMA = 0.7
+# Per-stroke user-mask accumulation rate (`NPE.py:221`, commented out there).
+USER_MASK_RATE = 0.05
 
 
-def _mask_and_composite(xh_hwc, recon_hwc, error_hwc):
+def _mask_and_composite(xh_hwc, recon_hwc, error_hwc, user_mask=None):
     """DELTA/MASK/composite math per `NPE.py:218-231`:
     DELTA = decode(Z) - RECON;
-    MASK  = gaussian_blur(min(mean(|DELTA|, channels), 1), 0.7);
-    IM    = RECON + MASK*DELTA + (1-MASK)*ERROR."""
+    MASK  = clip(gaussian_blur(min(mean(|DELTA|, channels), 1), 0.7)
+                 + USER_MASK, 0, 1);
+    IM    = RECON + MASK*DELTA + (1-MASK)*ERROR.
+    USER_MASK is the additive per-pixel floor the reference sketched but
+    never wired (`NPE.py:58,221`): strokes accumulate it so user-touched
+    regions keep showing the generator's output even where DELTA is small."""
     delta = xh_hwc - recon_hwc
     m = jnp.minimum(jnp.mean(jnp.abs(delta), axis=-1), 1.0)
-    mask = gaussian_blur_2d(m, MASK_SIGMA)[:, :, None]
+    mask = gaussian_blur_2d(m, MASK_SIGMA)
+    if user_mask is not None:
+        mask = jnp.clip(mask + user_mask, 0.0, 1.0)
+    mask = mask[:, :, None]
     im = recon_hwc + mask * delta + (1.0 - mask) * error_hwc
     return im, delta, mask[:, :, 0]
 
@@ -102,22 +111,22 @@ class EditSession:
         if self.use_pallas:
             from npe_tpu.ops.pallas.editor_kernels import edit_tail
 
-            def _tail(xh, recon, error):
-                return edit_tail(xh, recon, error, MASK_SIGMA)
+            def _tail(xh, recon, error, um):
+                return edit_tail(xh, recon, error, um, MASK_SIGMA)
         else:
 
-            def _tail(xh, recon, error):
-                return _mask_and_composite(xh, recon, error)[0]
+            def _tail(xh, recon, error, um):
+                return _mask_and_composite(xh, recon, error, um)[0]
 
         @jax.jit
-        def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, composite):
+        def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, um, composite):
             """Full stroke propagation (`NPE.py:192-235`) as one program.
             composite=False reproduces the SAMPLE_FLAG path (latent update +
             decode only)."""
             g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, rgb_hwc)
             z2 = z - PAINT_WEIGHT * g * (1.0 + (c2 - c1))
             xh = _decode_hwc(v, z2)
-            im = jnp.where(composite, _tail(xh, recon, error), xh)
+            im = jnp.where(composite, _tail(xh, recon, error, um), xh)
             return z2, im, xh
 
         @jax.jit
@@ -128,9 +137,9 @@ class EditSession:
             return z2, _decode_hwc(v, z2)
 
         @jax.jit
-        def _composite_step(v, z, recon, error, composite):
+        def _composite_step(v, z, recon, error, um, composite):
             xh = _decode_hwc(v, z)
-            im = jnp.where(composite, _tail(xh, recon, error), xh)
+            im = jnp.where(composite, _tail(xh, recon, error, um), xh)
             return im, xh
 
         @jax.jit
@@ -152,6 +161,10 @@ class EditSession:
         self._error = jnp.zeros((h, w, 3))
         self.DELTA = np.zeros((3, h, w), np.float32)
         self.USER_MASK = np.zeros((h, w), np.float32)
+        # Undo stack (reference has none; its only recovery is full Reset,
+        # `NPE.py:330-340`). Each edit op pushes a snapshot; undo() pops.
+        self._undo = []
+        self.undo_depth = 32
 
     # --- helpers ------------------------------------------------------------
 
@@ -180,6 +193,36 @@ class EditSession:
         the uint8 grid but stay in tanh units."""
         return to_tanh(np.float32(np.uint8(np.clip(from_tanh(np.asarray(xh_hwc)), 0, 255))))
 
+    # --- undo ----------------------------------------------------------------
+
+    def _snapshot(self):
+        self._undo.append(
+            (
+                self.Z,
+                self.IM.copy(),
+                self._recon,
+                self._error,
+                self.DELTA.copy(),
+                self.USER_MASK.copy(),
+                self.sample_flag,
+            )
+        )
+        if len(self._undo) > self.undo_depth:
+            self._undo.pop(0)
+
+    def undo(self):
+        """Revert the most recent edit operation (stroke/scroll/latent-paint/
+        sample). Returns the restored image, or None if nothing to undo."""
+        if not self._undo:
+            return None
+        (self.Z, self.IM, self._recon, self._error, self.DELTA,
+         self.USER_MASK, self.sample_flag) = self._undo.pop()
+        return self.IM
+
+    @property
+    def can_undo(self):
+        return bool(self._undo)
+
     # --- operations (reference `NPE.py` callbacks) ---------------------------
 
     def infer(self, image_chw_tanh):
@@ -192,8 +235,9 @@ class EditSession:
         self._recon = jnp.asarray(self._quantize_tanh(xh))
         self._error = x_hwc - self._recon
         self.DELTA = np.zeros_like(self._gim)
-        self.USER_MASK *= 0
+        self.USER_MASK = np.zeros_like(self.USER_MASK)
         self.sample_flag = False
+        self._undo.clear()
         return self.IM
 
     def reset(self):
@@ -212,6 +256,7 @@ class EditSession:
             if isinstance(key_or_seed, int)
             else key_or_seed
         )
+        self._snapshot()
         self.Z = jax.random.normal(key, self.Z.shape)
         xh = self._decode_fn(self.variables, self.Z)
         self._recon = jnp.asarray(self._quantize_tanh(xh))
@@ -227,6 +272,12 @@ class EditSession:
         rgb_hwc = jnp.broadcast_to(
             jnp.asarray(to_tanh(np.float32(rgb))), self._recon.shape
         )
+        self._snapshot()
+        # Accumulate the user mask under the brush box (the reference's
+        # sketched `USER_MASK[y1:y2,x1:x2]+=0.05`, `NPE.py:221`).
+        self.USER_MASK[y1:y2, x1:x2] = np.minimum(
+            self.USER_MASK[y1:y2, x1:x2] + USER_MASK_RATE, 1.0
+        )
         z2, im, xh = self._paint_fn(
             self.variables,
             self.Z,
@@ -237,6 +288,7 @@ class EditSession:
             rgb_hwc,
             self._recon,
             self._error,
+            jnp.asarray(self.USER_MASK),
             not self.sample_flag,
         )
         self.Z = z2
@@ -246,6 +298,7 @@ class EditSession:
 
     def scroll_patch(self, x1, y1, x2, y2, direction):
         """Mouse-wheel lighten/darken (`NPE.py:305-314`)."""
+        self._snapshot()
         z2, xh = self._scroll_fn(
             self.variables, self.Z, x1, y1, x2, y2, float(np.sign(direction))
         )
@@ -256,9 +309,15 @@ class EditSession:
     def set_latents(self, z_grid):
         """Direct latent painting (`NPE.py:277-302`): caller supplies the
         pooled latent grid; we re-composite."""
+        self._snapshot()
         self.Z = jnp.asarray(np.float32(z_grid).reshape(-1))
         im, xh = self._composite_fn(
-            self.variables, self.Z, self._recon, self._error, not self.sample_flag
+            self.variables,
+            self.Z,
+            self._recon,
+            self._error,
+            jnp.asarray(self.USER_MASK),
+            not self.sample_flag,
         )
         self.IM = np.asarray(im).transpose(2, 0, 1)
         return self.IM

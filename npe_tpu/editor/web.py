@@ -54,6 +54,7 @@ border-radius:4px;cursor:pointer}
 <label>brush <input type="range" id="size" min="1" max="64" value="12"></label>
 <input type="color" id="color" value="#ff0000">
 <label>latent <input type="range" id="lval" min="-255" max="255" value="0"></label>
+<button onclick="post('/undo',{})">Undo</button>
 <button onclick="post('/sample',{})">Sample</button>
 <button onclick="post('/reset',{})">Reset</button>
 <button onclick="post('/update_gim',{})">Update</button>
@@ -170,6 +171,8 @@ class EditorService:
                 zg = s.Z_grid.copy()
                 zg[int(body["i"]), int(body["j"])] = float(body["value"])
                 s.set_latents(zg)
+            elif route == "/undo":
+                s.undo()  # no-op when the stack is empty
             elif route == "/sample":
                 s.sample(int(body.get("seed", np.random.randint(1 << 31))))
             elif route == "/reset":

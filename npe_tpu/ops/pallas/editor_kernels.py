@@ -45,16 +45,20 @@ def blur_matrix(n, sigma=0.7, truncate=4.0):
     return jnp.asarray(_blur_matrix_np(n, sigma, truncate))
 
 
-def edit_tail_reference(xh, recon, error, bm):
+def edit_tail_reference(xh, recon, error, bm, user_mask=None):
     """Pure-jnp formulation (also what the kernel computes). Images are
-    (H, W, 3); bm is blur_matrix(H)."""
+    (H, W, 3); bm is blur_matrix(H); user_mask an optional (H, W) additive
+    mask floor (the reference's sketched-but-unimplemented USER_MASK,
+    `NPE.py:58,221`): mask = clip(blur + user_mask, 0, 1)."""
     delta = xh - recon
     m = jnp.minimum(jnp.mean(jnp.abs(delta), axis=-1), 1.0)
     mask = bm @ m @ bm.T
+    if user_mask is not None:
+        mask = jnp.clip(mask + user_mask, 0.0, 1.0)
     return recon + mask[:, :, None] * delta + (1.0 - mask[:, :, None]) * error
 
 
-def _kernel(xh_ref, recon_ref, err_ref, bm_ref, out_ref):
+def _kernel(xh_ref, recon_ref, err_ref, bm_ref, um_ref, out_ref):
     xh = xh_ref[:]
     recon = recon_ref[:]
     delta = xh - recon
@@ -65,17 +69,21 @@ def _kernel(xh_ref, recon_ref, err_ref, bm_ref, out_ref):
         bm.T,
         preferred_element_type=jnp.float32,
     )
-    out_ref[:] = recon + blurred[None] * delta + (1.0 - blurred[None]) * err_ref[:]
+    mask = jnp.clip(blurred + um_ref[:], 0.0, 1.0)
+    out_ref[:] = recon + mask[None] * delta + (1.0 - mask[None]) * err_ref[:]
 
 
-def edit_tail(xh, recon, error, sigma=0.7, interpret=False):
+def edit_tail(xh, recon, error, user_mask=None, sigma=0.7, interpret=False):
     """Fused DELTA/MASK/composite. Inputs (H, W, 3) float32; one VMEM-resident
-    kernel, blur on the MXU. Set interpret=True on CPU."""
+    kernel, blur on the MXU. user_mask: optional (H, W) additive mask floor
+    (None = zeros = pure auto mask). Set interpret=True on CPU."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     h = xh.shape[0]
     bm = blur_matrix(h, sigma)
+    if user_mask is None:
+        user_mask = jnp.zeros((h, xh.shape[1]), xh.dtype)
     # CHW layout inside the kernel: (3, H, W) keeps the lane dim at W=64.
     xh_c = jnp.transpose(xh, (2, 0, 1))
     recon_c = jnp.transpose(recon, (2, 0, 1))
@@ -88,8 +96,9 @@ def edit_tail(xh, recon, error, sigma=0.7, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(xh_c, recon_c, err_c, bm)
+    )(xh_c, recon_c, err_c, bm, user_mask)
     return jnp.transpose(out, (1, 2, 0))

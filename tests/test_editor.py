@@ -104,3 +104,44 @@ def test_reset_and_update_gim(session):
     np.testing.assert_allclose(session.GIM, painted, atol=1e-6)
     session.reset()
     np.testing.assert_allclose(session.GIM, painted, atol=1e-6)
+
+
+def test_undo_stack(session):
+    """undo() reverts strokes/scrolls/samples one at a time back to the
+    post-infer state; infer clears the stack."""
+    session.infer(_fake_image())
+    assert not session.can_undo
+    z0 = np.asarray(session.Z).copy()
+    im0 = session.IM.copy()
+    session.paint_stroke(5, 5, 15, 15, (0, 255, 0))
+    session.scroll_patch(20, 20, 30, 30, +1)
+    assert session.can_undo
+    session.undo()  # revert scroll
+    session.undo()  # revert stroke
+    np.testing.assert_allclose(np.asarray(session.Z), z0, atol=0)
+    np.testing.assert_allclose(session.IM, im0, atol=0)
+    assert not session.can_undo
+    assert session.undo() is None
+
+
+def test_user_mask_accumulates_and_floors_composite(session):
+    """Strokes accumulate USER_MASK in the brush box (`NPE.py:221` intent);
+    a saturated user mask pins the composite to the generator output in
+    that region."""
+    from npe_tpu.editor.engine import USER_MASK_RATE
+
+    session.infer(_fake_image())
+    assert float(session.USER_MASK.max()) == 0.0
+    session.paint_stroke(10, 10, 20, 20, (255, 0, 0))
+    assert np.allclose(session.USER_MASK[10:20, 10:20], USER_MASK_RATE)
+    assert float(session.USER_MASK[:5, :5].max()) == 0.0
+    # saturate the box and check the composite equals decode(Z) there
+    session.USER_MASK[10:20, 10:20] = 1.0
+    im = session.set_latents(session.Z_grid)
+    xh = session.decode_current()
+    np.testing.assert_allclose(
+        im[:, 12:18, 12:18], xh[:, 12:18, 12:18], rtol=1e-4, atol=1e-4
+    )
+    # infer clears it
+    session.infer(_fake_image())
+    assert float(session.USER_MASK.max()) == 0.0

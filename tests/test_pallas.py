@@ -79,3 +79,18 @@ def test_stage_uint8_to_tanh():
     expect = (2.0 * (chunk.astype(np.float32) / 255.0) - 1.0).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
     assert out.min() >= -1 - 1e-6 and out.max() <= 1 + 1e-6
+
+
+def test_edit_tail_user_mask():
+    """A saturated user mask forces the composite to the generator output
+    (mask=1 -> IM = RECON + DELTA = decode), regardless of DELTA size; the
+    kernel and jnp paths agree."""
+    rng = np.random.RandomState(5)
+    xh = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32) * 2 - 1)
+    recon = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32) * 2 - 1)
+    err = jnp.asarray(rng.rand(64, 64, 3).astype(np.float32) * 0.2)
+    um = jnp.ones((64, 64), jnp.float32)
+    out = edit_tail(xh, recon, err, um, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xh), rtol=1e-5, atol=1e-5)
+    ref = edit_tail_reference(xh, recon, err, blur_matrix(64, 0.7), um)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -109,3 +109,15 @@ def test_unknown_route_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 404
+
+
+def test_undo_route(server_url):
+    """/undo reverts the last stroke; Undo button is on the page."""
+    _post(server_url, "/infer", {"index": 9})
+    before = np.asarray(json.loads(_get(server_url, "/state"))["z"])
+    _post(server_url, "/paint", {"x1": 4, "y1": 4, "x2": 14, "y2": 14, "rgb": [0, 255, 0]})
+    st = _post(server_url, "/undo", {})
+    np.testing.assert_allclose(np.asarray(st["z"]), before, atol=0)
+    st = _post(server_url, "/undo", {})  # empty stack: no-op, still 200
+    np.testing.assert_allclose(np.asarray(st["z"]), before, atol=0)
+    assert b"Undo" in _get(server_url, "/")
