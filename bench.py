@@ -18,11 +18,11 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16):
+def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16, model="IAN_simple"):
     from npe_tpu.models import get_config
     from npe_tpu.utils.cast import cast_floating
 
-    module = get_config("IAN_simple")
+    module = get_config(model)
     variables = module.init(jax.random.PRNGKey(0))
     v16 = cast_floating(variables, dtype)
 
@@ -60,7 +60,7 @@ def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16):
     print(
         json.dumps(
             {
-                "metric": "ian_simple_encode_decode_throughput",
+                "metric": f"{model.lower()}_encode_decode_throughput",
                 "value": round(imgs_per_sec, 1),
                 "unit": "imgs/sec/chip",
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
@@ -73,4 +73,10 @@ def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="IAN_simple")
+    p.add_argument("--batch", type=int, default=256)
+    a = p.parse_args()
+    main(batch=a.batch, model=a.model)

@@ -58,7 +58,7 @@ def main():
     p.add_argument("--model", default="IAN")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--mdcl-mode", default=None, choices=[None, "fused", "branch"])
+    p.add_argument("--mdcl-mode", default=None, choices=[None, "fused", "branch", "auto"])
     a = p.parse_args()
 
     if a.mdcl_mode:

@@ -134,6 +134,85 @@ def mdcl_multi(v, names, x, scales):
     return outs
 
 
+# RGB-Beta head implementation: "packed" computes the head's tiny-output-
+# channel convolutions (Cout = 6/2/2) in space-to-depth form so the MXU's
+# 128-wide output lanes are actually filled; "plain" is the direct form.
+# Both are the same linear maps (test_models.py asserts equality).
+HEAD_MODE = "packed"
+
+
+def _composed_mdcl_kernel(v, name, scales):
+    from npe_tpu.ops.mdcl import compose_mdcl_kernel
+
+    coeffs = {s: v[f"{name}_coeff_{'1x1' if s == 0 else s}"] for s in scales}
+    return compose_mdcl_kernel(v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
+
+
+def rgb_beta_head(v, h, scales=(2, 3, 4), mode=None, block=4):
+    """Autoregressive RGB-Beta output (reference `IAN.py:183-207`): R from
+    trunk features; G from trunk + MDCL(R); B from trunk + MDCL([R, G]); each
+    a sigmoid (alpha, beta) pair -> per-channel Beta mean. The three trunk
+    MDCLs (R, G_a, B_a) read the same input so they fuse into one conv; the
+    G_b / B_b branches stay sequential by construction.
+
+    The packed mode keeps the whole head in space-to-depth form (one s2d at
+    entry, one d2s at exit): a 4x4 pixel block folds into channels, turning
+    the Cout=6 trunk conv at 64x64 into a Cout=96 conv at 16x16 (~9x less
+    MXU lane padding); sigmoid/beta_mean are per-channel so they commute
+    with the packing."""
+    scales = list(scales)
+    mode = mode or HEAD_MODE
+    if mode == "packed" and h.shape[1] % block == 0 and h.shape[2] % block == 0:
+        return _rgb_beta_head_packed(v, h, scales, block)
+    from npe_tpu.ops.activations import sigmoid
+    from npe_tpu.ops.beta import beta_mean
+
+    r_pre, ga_pre, ba_pre = mdcl_multi(v, ["R", "G_a", "B_a"], h, scales)
+    r = sigmoid(r_pre)
+    g = sigmoid(ga_pre + mdcl(v, "G_b", r, scales))
+    b = sigmoid(ba_pre + mdcl(v, "B_b", jnp.concatenate([r, g], -1), scales))
+    return jnp.concatenate(
+        [
+            beta_mean(r[..., 0:1], r[..., 1:2]),
+            beta_mean(g[..., 0:1], g[..., 1:2]),
+            beta_mean(b[..., 0:1], b[..., 1:2]),
+        ],
+        axis=-1,
+    )
+
+
+def _rgb_beta_head_packed(v, h, scales, r):
+    from npe_tpu.ops.activations import sigmoid
+    from npe_tpu.ops.beta import beta_mean
+    from npe_tpu.ops.conv import (
+        depth_to_space,
+        pack_kernel_s2d,
+        s2d_block_taps,
+        space_to_depth,
+    )
+
+    def packed_conv(xp, k):
+        t = s2d_block_taps(k.shape[0], r)
+        return conv2d(xp, pack_kernel_s2d(k, r), stride=1, padding=t // 2)
+
+    k_trunk = jnp.concatenate(
+        [_composed_mdcl_kernel(v, n, scales) for n in ("R", "G_a", "B_a")], axis=-1
+    )
+    n, hh, ww = h.shape[0], h.shape[1] // r, h.shape[2] // r
+    rr = r * r
+    trunk = packed_conv(space_to_depth(h, r), k_trunk).reshape(n, hh, ww, rr, 6)
+    red = sigmoid(trunk[..., 0:2])
+    g_pre = packed_conv(red.reshape(n, hh, ww, rr * 2), _composed_mdcl_kernel(v, "G_b", scales))
+    grn = sigmoid(trunk[..., 2:4] + g_pre.reshape(n, hh, ww, rr, 2))
+    rg = jnp.concatenate([red, grn], axis=-1).reshape(n, hh, ww, rr * 4)
+    b_pre = packed_conv(rg, _composed_mdcl_kernel(v, "B_b", scales))
+    blu = sigmoid(trunk[..., 4:6] + b_pre.reshape(n, hh, ww, rr, 2))
+    out = jnp.concatenate(
+        [beta_mean(c[..., 0:1], c[..., 1:2]) for c in (red, grn, blu)], axis=-1
+    )
+    return depth_to_space(out.reshape(n, hh, ww, rr * 3), r)
+
+
 def mdblock(v, upd, name, x, scales, act, train):
     """MDBLOCK (reference `layers.py:411-416`): pre-activation residual
     nl(BN2(x + MDCL2(nl(BN1(MDCL1(nl(BN0(x))))))))."""

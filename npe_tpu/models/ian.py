@@ -120,23 +120,10 @@ def encode(v, x):
     return z
 
 
-def rgb_beta_head(v, h):
-    """Autoregressive RGB-Beta output (`IAN.py:183-207`). The three trunk
-    MDCLs (R, G_a, B_a) fuse into one conv; the autoregressive G_b / B_b
-    branches stay sequential by construction."""
-    scales = [2, 3, 4]
-    r_pre, ga_pre, ba_pre = mdcl_multi(v, ["R", "G_a", "B_a"], h, scales)
-    r = sigmoid(r_pre)
-    g = sigmoid(ga_pre + mdcl(v, "G_b", r, scales))
-    b = sigmoid(ba_pre + mdcl(v, "B_b", jnp.concatenate([r, g], -1), scales))
-    return jnp.concatenate(
-        [
-            beta_mean(r[..., 0:1], r[..., 1:2]),
-            beta_mean(g[..., 0:1], g[..., 1:2]),
-            beta_mean(b[..., 0:1], b[..., 1:2]),
-        ],
-        axis=-1,
-    )
+def rgb_beta_head(v, h, mode=None):
+    """Autoregressive RGB-Beta output (`IAN.py:183-207`); shared packed
+    implementation in models/common.py."""
+    return common.rgb_beta_head(v, h, scales=(2, 3, 4), mode=mode)
 
 
 def decode(v, z, train=False, upd=None):

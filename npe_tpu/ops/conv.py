@@ -15,6 +15,8 @@ Reference native surface replaced here (SURVEY.md section 2.9):
       -> `dilated_conv2d` via rhs_dilation, native on TPU.
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -75,7 +77,28 @@ def deconv2d(x, w, stride=2, crop=2, b=None):
     return y
 
 
-def deconv2d_phased(x, w, b=None):
+# Implementation used by deconv2d_phased: "split" issues one conv per output-
+# pixel parity (4 convs, zero wasted MACs); "block" merges the 4 phase
+# kernels -- zero-padded to a common 3x3 footprint -- into ONE conv with
+# 4*Cout channels followed by depth_to_space (1.44x the MACs but a single
+# large MXU op); "lhs" is the one lhs-dilated conv of deconv2d. Measured on
+# v5e, batch 128 (bench_deconv_ab.py, ms/batch):
+#   1024->512 @8 out: split 0.91 | block 1.47 | lhs 1.26
+#    512->512 @8 out: split 0.74 | block 0.98 | lhs 0.91
+#    512->256 @16:    split 0.85 | block 1.04 | lhs 0.82
+#    256->128 @32:    split 0.89 | block 0.98 | lhs 0.85
+#    128->128 @64:    split 1.51 | block 1.36 | lhs 1.14
+#    128->3   @64:    split 0.94 | block 0.78 | lhs 0.89
+# so "auto": split below 16 input spatial (and in the batch<8 latency
+# regime, where split also measures fastest end to end), block for lane-
+# starved tiny Cout at wide spatial, lhs otherwise. Overridable per process
+# with NPE_DECONV_MODE for deployment tuning.
+import os as _os
+
+DEFAULT_DECONV_MODE = _os.environ.get("NPE_DECONV_MODE", "auto")
+
+
+def deconv2d_phased(x, w, b=None, mode=None):
     """`deconv2d` for the models' fixed geometry (k=5, stride=2, crop=2,
     out=2x) decomposed into 4 phase convolutions + interleave: output pixels
     at parity (ph, pw) depend only on kernel taps of matching parity, so
@@ -89,6 +112,22 @@ def deconv2d_phased(x, w, b=None):
     with kernel flip(w[1::2]) pad (0,1). Equality with deconv2d is asserted
     in tests/test_conv.py.
     """
+    mode = mode or DEFAULT_DECONV_MODE
+    if mode == "auto":
+        if x.shape[0] < 8:
+            # Latency regime (the editor's batch-1 stroke): the 4-phase
+            # split form measures fastest end to end (bench_edit.py).
+            mode = "split"
+        elif x.shape[1] >= 32 and w.shape[3] <= 16:
+            mode = "block"
+        elif x.shape[1] >= 16:
+            mode = "lhs"
+        else:
+            mode = "split"
+    if mode == "lhs":
+        return deconv2d(x, w, b=b)
+    if mode == "block":
+        return _deconv2d_block(x, w, b)
     n, h, ww, cin = x.shape
     cout = w.shape[3]
     phases = []
@@ -105,6 +144,103 @@ def deconv2d_phased(x, w, b=None):
     bot = jnp.stack([phases[1][0], phases[1][1]], axis=3)
     y = jnp.stack([top, bot], axis=2)  # (N,H,2,W,2,C)
     y = y.reshape(n, 2 * h, 2 * ww, cout)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _deconv2d_block(x, w, b=None):
+    """Single-conv form of deconv2d_phased: with pad (1,1) the even-parity
+    phase kernel per dim is [w4, w2, w0] and the odd one [0, w3, w1]
+    (tap index k = 2*(1 - t) + 2 + a for conv tap t and output parity a),
+    so all four phases stack into one (3, 3, Cin, 4*Cout) kernel whose
+    output depth_to_space(2) interleaves."""
+    kh, kw, cin, cout = w.shape
+    t = np.arange(3)[:, None]
+    a = np.arange(2)[None, :]
+    ih = 4 - 2 * t + a  # (3, 2) tap index per (conv tap, parity)
+    valid = ih < kh
+    ihc = np.clip(ih, 0, kh - 1)
+    kk = w[ihc][:, :, ihc]  # (3, 2, 3, 2, Cin, Cout)
+    mask = valid[:, :, None, None] & valid[None, None, :, :]
+    kk = kk * jnp.asarray(mask[..., None, None], w.dtype)
+    # -> (t_h, t_w, Cin, a, b, Cout): out-pack (a*2+b)*Cout + c, the
+    # depth_to_space channel order.
+    kk = kk.transpose(0, 2, 4, 1, 3, 5).reshape(3, 3, cin, 4 * cout)
+    y = depth_to_space(conv2d(x, kk, stride=1, padding=1), 2)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def space_to_depth(x, r):
+    """NHWC -> (N, H/r, W/r, r*r*C); packed channel index = (p*r + q)*C + c
+    for in-block pixel offset (p, q). Inverse of `depth_to_space`."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // r, w // r, r * r * c)
+
+
+def depth_to_space(y, r):
+    """(N, H, W, r*r*C) -> (N, H*r, W*r, C), inverse of `space_to_depth`."""
+    n, h, w, prc = y.shape
+    c = prc // (r * r)
+    y = y.reshape(n, h, w, r, r, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * r, w * r, c)
+
+
+def s2d_block_taps(ksize, r):
+    """Spatial tap count of the packed (space-to-depth) form of an odd
+    `ksize` 'same' conv at block factor r."""
+    return 2 * -(-(ksize // 2) // r) + 1
+
+
+def pack_kernel_s2d(k, r):
+    """Repack a dense odd-sized 'same' conv kernel (K, K, Cin, Cout) into the
+    equivalent kernel over space-to-depth inputs/outputs:
+    (T, T, r*r*Cin, r*r*Cout) with T = s2d_block_taps(K, r).
+
+    Why: convolutions with few output channels starve the MXU -- the output-
+    feature dimension pads to the 128-wide lane tile, so e.g. the RGB-Beta
+    head's Cout=6 conv runs at ~6/128 of peak. Folding an r x r pixel block
+    into channels multiplies both channel dims by r^2 at 1/r^2 the spatial
+    positions: identical math (each dense tap maps to exactly one packed tap;
+    taps falling outside the dense kernel are zero), full lane utilization.
+
+    conv2d_s2d(x, k, r) == conv2d(x, k, padding=K//2) exactly, for H and W
+    divisible by r (tests/test_conv.py)."""
+    ksize = k.shape[0]
+    half = ksize // 2
+    t = s2d_block_taps(ksize, r)
+    tc = t // 2
+    # Output pixel y = r*i + a reads input row r*(i + u - tc) + p, i.e. dense
+    # tap dy = r*(u - tc) + p - a + half; taps outside [0, K) are zeros.
+    u = np.arange(t)[:, None, None]
+    p = np.arange(r)[None, :, None]
+    a = np.arange(r)[None, None, :]
+    dy = r * (u - tc) + p - a + half  # (T, r_in, r_out)
+    valid = (dy >= 0) & (dy < ksize)
+    dyc = np.clip(dy, 0, ksize - 1)
+    # kk[u, p, a, v, q, b, ci, co] = k[dy, dx, ci, co] masked
+    kk = k[dyc][:, :, :, dyc]  # (T, r, r, T, r, r, Cin, Cout)
+    mask = (
+        valid[:, :, :, None, None, None]
+        & valid[None, None, None, :, :, :]
+    )
+    kk = kk * jnp.asarray(mask[..., None, None], k.dtype)
+    # -> (u, v, p, q, ci, a, b, co): in-pack (p*r+q)*Cin + ci, out-pack
+    # (a*r+b)*Cout + co, matching space_to_depth's channel order.
+    kk = kk.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    cin, cout = k.shape[2], k.shape[3]
+    return kk.reshape(t, t, r * r * cin, r * r * cout)
+
+
+def conv2d_s2d(x, k, r, b=None):
+    """'Same' conv with a dense odd kernel, computed in space-to-depth form
+    (see `pack_kernel_s2d`). Equal to conv2d(x, k, padding=K//2) + b."""
+    t = s2d_block_taps(k.shape[0], r)
+    y = conv2d(space_to_depth(x, r), pack_kernel_s2d(k, r), stride=1, padding=t // 2)
+    y = depth_to_space(y, r)
     if b is not None:
         y = y + b
     return y

@@ -52,19 +52,25 @@ def compose_mdcl_kernel(w, coeff_base, scale_coeffs, scales):
 
 
 # Global default for mdcl_apply's mode (models pass mode=None). "fused"
-# composes one dense kernel; "branch" runs the dilated branches separately.
-# The fused kernel is one MXU op but computes every structurally-zero tap:
-# for scales [0,2,3] that is 49 dense taps where only ~26 are nonzero, so
-# on FLOP-bound stages the branch form can win; profile with
-# bench_stages.py --mdcl-mode and pick per deployment.
-DEFAULT_MODE = "fused"
+# composes one dense kernel (one MXU op, but computes every structurally-
+# zero tap); "branch" runs one rhs-dilated 3x3 conv per scale (no zero
+# taps, more dispatches); "auto" picks per scale set: measured on v5e
+# (bench_stages.py), fused wins up to a 5x5 composed kernel (19/25 taps
+# nonzero for scales [0,2]) while branch wins at 7x7+ (<=27/49 nonzero for
+# [0,2,3], ~1.9x fewer FLOPs and ~15% faster end to end).
+# Overridable per process with NPE_MDCL_MODE for deployment tuning.
+import os as _os
+
+DEFAULT_MODE = _os.environ.get("NPE_MDCL_MODE", "auto")
 
 
 def mdcl_apply(x, w, coeff_base, scale_coeffs, scales, mode=None):
-    """The whole MDCL block ('same' padding). mode: 'fused' (one composed
-    conv) | 'branch' (per-scale dilated convs, no zero taps) | None
-    (DEFAULT_MODE). Both modes are numerically equivalent (test_mdcl.py)."""
+    """The whole MDCL block ('same' padding). mode: 'fused' | 'branch' |
+    'auto' | None (DEFAULT_MODE). All modes are numerically equivalent
+    (test_mdcl.py)."""
     mode = mode or DEFAULT_MODE
+    if mode == "auto":
+        mode = "branch" if mdcl_kernel_size(scales) >= 7 else "fused"
     if mode == "branch":
         return mdcl_apply_branch(x, w, coeff_base, scale_coeffs, scales)
     k = compose_mdcl_kernel(w, coeff_base, scale_coeffs, scales)
@@ -73,16 +79,18 @@ def mdcl_apply(x, w, coeff_base, scale_coeffs, scales, mode=None):
 
 
 def mdcl_apply_branch(x, w, coeff_base, scale_coeffs, scales):
-    """Branch-per-scale MDCL: base 3x3 + 1x1 mean-filter + one dilated 3x3
-    per scale, each with its per-output-channel coefficient folded into the
-    kernel (reference `layers.py:207-258` branch semantics, minus the
-    elementwise-sum layers -- XLA fuses the adds into the conv epilogues)."""
-    out = conv2d(x, w * coeff_base, stride=1, padding=1)
+    """Branch-per-scale MDCL: base 3x3 (with the 1x1 mean-filter branch
+    folded into its center tap -- both are dilation-1 footprints) + one
+    rhs-dilated 3x3 conv per scale, per-output-channel coefficients folded
+    into the kernels (reference `layers.py:207-258` branch semantics, minus
+    the elemwise-sum layers -- XLA fuses the adds into the conv epilogues)."""
+    k3 = w * coeff_base
     for s in scales:
         if s == 0:
-            k1 = jnp.mean(w, axis=(0, 1), keepdims=True) * scale_coeffs[0]
-            out = out + conv2d(x, k1, stride=1, padding=0)
-        else:
+            k3 = k3.at[1, 1].add(jnp.mean(w, axis=(0, 1)) * scale_coeffs[0])
+    out = conv2d(x, k3, stride=1, padding=1)
+    for s in scales:
+        if s > 0:
             out = out + conv2d(x, w * scale_coeffs[s], stride=1, padding=s, rhs_dilation=s)
     return out
 

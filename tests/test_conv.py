@@ -80,8 +80,34 @@ def test_deconv_phased_equals_deconv():
     w = jax.random.normal(jax.random.PRNGKey(4), (5, 5, 6, 3))
     b = jax.random.normal(jax.random.PRNGKey(5), (3,))
     a = deconv2d(x, w, b=b)
-    p = deconv2d_phased(x, w, b=b)
-    np.testing.assert_allclose(np.asarray(p), np.asarray(a), rtol=1e-4, atol=1e-5)
+    for mode in ("split", "block"):
+        p = deconv2d_phased(x, w, b=b, mode=mode)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ksize,r,cin,cout,hw", [(9, 4, 5, 6, 16), (7, 2, 3, 2, 8), (3, 4, 2, 2, 8)])
+def test_conv2d_s2d_equals_dense(ksize, r, cin, cout, hw):
+    """Space-to-depth packed conv (full MXU lanes for tiny-Cout kernels)
+    must equal the dense 'same' conv exactly: every dense tap maps to one
+    packed tap, out-of-kernel taps are zeros."""
+    from npe_tpu.ops.conv import conv2d_s2d
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(keys[0], (2, hw, hw, cin))
+    k = jax.random.normal(keys[1], (ksize, ksize, cin, cout))
+    b = jax.random.normal(keys[2], (cout,))
+    dense = conv2d(x, k, stride=1, padding=ksize // 2, b=b)
+    packed = conv2d_s2d(x, k, r, b=b)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(dense), rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_roundtrip():
+    from npe_tpu.ops.conv import depth_to_space, space_to_depth
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 5))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 4), 4)), np.asarray(x)
+    )
 
 
 def test_dilated_conv_same_spatial():

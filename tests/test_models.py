@@ -65,6 +65,19 @@ def test_train_mode_returns_bn_updates(rng):
     assert not np.allclose(np.asarray(upd["bnorm2.mean"]), 0)
 
 
+@pytest.mark.parametrize("name", ["IAN", "IANv1"])
+def test_rgb_beta_head_packed_equals_plain(name, rng):
+    """The space-to-depth head (default) is the same linear-map-plus-
+    elementwise computation as the direct MDCL form."""
+    m = REGISTRY[name]
+    v = m.init(rng)
+    cin = v["RW"].shape[2]
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, cin)) * 0.3
+    plain = m.rgb_beta_head(v, h, mode="plain")
+    packed = m.rgb_beta_head(v, h, mode="packed")
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), rtol=1e-4, atol=1e-5)
+
+
 def test_config_lookup():
     assert get_config("IAN_simple.py").cfg["batch_size"] == 128
     assert get_config("/some/path/IAN.py").cfg["max_epochs"] == 80
