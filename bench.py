@@ -18,7 +18,7 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def main(batch=256, iters=20, warmup=3, rounds=5, dtype=jnp.bfloat16, model="IAN_simple"):
+def main(batch=256, iters=50, warmup=3, rounds=5, dtype=jnp.bfloat16, model="IAN_simple"):
     from npe_tpu.models import get_config
     from npe_tpu.utils.cast import cast_floating
 

@@ -17,6 +17,8 @@ Variables dicts are pytrees; every apply function is pure and returns
 (output, updates) where updates holds new BN running stats in train mode.
 """
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -136,9 +138,12 @@ def mdcl_multi(v, names, x, scales):
 
 # RGB-Beta head implementation: "packed" computes the head's tiny-output-
 # channel convolutions (Cout = 6/2/2) in space-to-depth form so the MXU's
-# 128-wide output lanes are actually filled; "plain" is the direct form.
-# Both are the same linear maps (test_models.py asserts equality).
-HEAD_MODE = "packed"
+# 128-wide output lanes are actually filled; "plain" is the direct form;
+# "pallas" fuses the whole packed head (trunk + autoregressive G/B branches
+# + sigmoids + Beta means) into one VMEM-resident kernel
+# (ops/pallas/mdcl_kernels.py); "auto" = pallas on TPU, packed elsewhere.
+# All are the same math (test_models.py / test_pallas.py assert equality).
+HEAD_MODE = _os.environ.get("NPE_HEAD_MODE", "auto")
 
 
 def _composed_mdcl_kernel(v, name, scales):
@@ -162,7 +167,25 @@ def rgb_beta_head(v, h, scales=(2, 3, 4), mode=None, block=4):
     with the packing."""
     scales = list(scales)
     mode = mode or HEAD_MODE
-    if mode == "packed" and h.shape[1] % block == 0 and h.shape[2] % block == 0:
+    if mode == "auto":
+        # Isolated A/B (bench_head_ab.py) puts the XLA packed head ~15%
+        # ahead of the fused Pallas kernel (1.55 vs 1.81 ms/b128), but END
+        # TO END the kernel version of the full decode measures ~3% faster
+        # (15.8k vs 15.4k imgs/s at b256) -- in-context scheduling/fusion
+        # differ from the isolated chain. "auto" trusts the end-to-end
+        # number: pallas on TPU, packed elsewhere.
+        mode = "pallas" if jax.default_backend() == "tpu" else "packed"
+    divisible = h.shape[1] % block == 0 and h.shape[2] % block == 0
+    if mode == "pallas" and divisible and block == 4 and max(scales) == 4:
+        from npe_tpu.ops.pallas.mdcl_kernels import rgb_beta_head_pallas
+
+        k_trunk = jnp.concatenate(
+            [_composed_mdcl_kernel(v, n, scales) for n in ("R", "G_a", "B_a")], axis=-1
+        )
+        k_g = _composed_mdcl_kernel(v, "G_b", scales)
+        k_b = _composed_mdcl_kernel(v, "B_b", scales)
+        return rgb_beta_head_pallas(h, k_trunk, k_g, k_b, block, 1, False)
+    if mode in ("packed", "pallas") and divisible:
         return _rgb_beta_head_packed(v, h, scales, block)
     from npe_tpu.ops.activations import sigmoid
     from npe_tpu.ops.beta import beta_mean
@@ -213,14 +236,54 @@ def _rgb_beta_head_packed(v, h, scales, r):
     return depth_to_space(out.reshape(n, hh, ww, rr * 3), r)
 
 
+# Fused single-Pallas-kernel inference MDBLOCK (ops/pallas/mdcl_kernels.py):
+# "auto" uses it on TPU for channel widths whose tap matrices fit VMEM;
+# "off" (default) always takes the per-op XLA path. Measured on v5e the two
+# are within ~3% of each other -- the MDCL branch convs are compute-bound at
+# the MXU roofline (905M MACs/img per mdblock), so there is nothing left for
+# fusion to reclaim; XLA's conv path wins by a hair and needs no custom VJP.
+# The kernel stays as a tested deployment option (bench_mdblock_ab.py).
+MDBLOCK_FUSED = _os.environ.get("NPE_MDBLOCK_FUSED", "off")
+
+
+def _bn_affine(v, name):
+    import jax.numpy as _jnp
+
+    s = (v[f"{name}.gamma"] * v[f"{name}.inv_std"]).astype(_jnp.float32)
+    t = v[f"{name}.beta"].astype(_jnp.float32) - v[f"{name}.mean"].astype(_jnp.float32) * s
+    return s, t
+
+
 def mdblock(v, upd, name, x, scales, act, train):
     """MDBLOCK (reference `layers.py:411-416`): pre-activation residual
     nl(BN2(x + MDCL2(nl(BN1(MDCL1(nl(BN0(x))))))))."""
+    if (
+        not train
+        and act is LRELU
+        and MDBLOCK_FUSED == "auto"
+        and jax.default_backend() == "tpu"
+        and x.shape[-1] <= 256
+        and x.shape[1] >= 8
+    ):
+        from npe_tpu.ops.pallas.mdcl_kernels import mdblock_fused, tap_offsets
+
+        taps1, taps2 = (
+            _stacked_mdcl_taps(v, n, scales) for n in (name, f"{name}2")
+        )
+        affines = sum((_bn_affine(v, f"{name}bnorm{i}") for i in range(3)), ())
+        return mdblock_fused(x, taps1, taps2, affines, tap_offsets(scales))
     h = act(bn(v, upd, f"{name}bnorm0", x, train))
     h = mdcl(v, name, h, scales)
     h = act(bn(v, upd, f"{name}bnorm1", h, train))
     h = mdcl(v, f"{name}2", h, scales)
     return act(bn(v, upd, f"{name}bnorm2", x + h, train))
+
+
+def _stacked_mdcl_taps(v, name, scales):
+    from npe_tpu.ops.pallas.mdcl_kernels import stack_mdcl_taps
+
+    coeffs = {s: v[f"{name}_coeff_{'1x1' if s == 0 else s}"] for s in scales}
+    return stack_mdcl_taps(v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
 
 
 def init_encoder(vb, num_latents, in_channels=3):

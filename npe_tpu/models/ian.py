@@ -136,6 +136,11 @@ def decode(v, z, train=False, upd=None):
     h = mdblock(v, upd, "dec_conv3a", h, [0, 2, 3], LRELU, train)
     h = deconv2d(h, v["dec_conv3.W"], b=v["dec_conv3.b"])
     h = mdblock(v, upd, "dec_conv4a", h, [0, 2, 3], LRELU, train)
+    # NOTE: a fused tail (block deconv4 in 2x2-packed layout -> tiled BN
+    # affine -> one regroup permute -> pre-packed head, skipping the d2s+s2d
+    # round trip) was built and measured SLOWER on v5e (13.8k vs 15.8k
+    # imgs/s at b256): the lhs-dilated deconv4 beats the block form by more
+    # than the saved relayouts. Kept the simple formulation.
     h = LRELU(bn(v, upd, "bnorm_dc4", deconv2d(h, v["dec_conv4.W"]), train))
     return rgb_beta_head(v, h)
 

@@ -149,12 +149,12 @@ def deconv2d_phased(x, w, b=None, mode=None):
     return y
 
 
-def _deconv2d_block(x, w, b=None):
-    """Single-conv form of deconv2d_phased: with pad (1,1) the even-parity
-    phase kernel per dim is [w4, w2, w0] and the odd one [0, w3, w1]
-    (tap index k = 2*(1 - t) + 2 + a for conv tap t and output parity a),
-    so all four phases stack into one (3, 3, Cin, 4*Cout) kernel whose
-    output depth_to_space(2) interleaves."""
+def deconv2d_block_packed(x, w):
+    """The block-mode deconv WITHOUT the final depth_to_space: returns
+    (N, H, W, 4*Cout) where channel (a*2+b)*Cout + c is output pixel
+    (2i+a, 2j+b)'s channel c. Callers that immediately re-pack the 2x
+    output (e.g. the decoder-tail -> packed RGB-Beta head fusion) consume
+    this directly and skip two full HBM passes of the widest activation."""
     kh, kw, cin, cout = w.shape
     t = np.arange(3)[:, None]
     a = np.arange(2)[None, :]
@@ -167,7 +167,16 @@ def _deconv2d_block(x, w, b=None):
     # -> (t_h, t_w, Cin, a, b, Cout): out-pack (a*2+b)*Cout + c, the
     # depth_to_space channel order.
     kk = kk.transpose(0, 2, 4, 1, 3, 5).reshape(3, 3, cin, 4 * cout)
-    y = depth_to_space(conv2d(x, kk, stride=1, padding=1), 2)
+    return conv2d(x, kk, stride=1, padding=1)
+
+
+def _deconv2d_block(x, w, b=None):
+    """Single-conv form of deconv2d_phased: with pad (1,1) the even-parity
+    phase kernel per dim is [w4, w2, w0] and the odd one [0, w3, w1]
+    (tap index k = 2*(1 - t) + 2 + a for conv tap t and output parity a),
+    so all four phases stack into one (3, 3, Cin, 4*Cout) kernel whose
+    output depth_to_space(2) interleaves."""
+    y = depth_to_space(deconv2d_block_packed(x, w), 2)
     if b is not None:
         y = y + b
     return y

@@ -94,3 +94,88 @@ def test_edit_tail_user_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(xh), rtol=1e-5, atol=1e-5)
     ref = edit_tail_reference(xh, recon, err, blur_matrix(64, 0.7), um)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_mdblock_fused_matches_xla_mdblock():
+    """The fused single-kernel MDBLOCK (interpret mode) equals the per-op
+    XLA formulation (models/common.mdblock, train=False) and its custom-VJP
+    gradient equals the XLA gradient."""
+    import jax
+
+    from npe_tpu.models.common import LRELU, VarBuilder, mdblock
+    from npe_tpu.ops.pallas.mdcl_kernels import (
+        mdblock_fused,
+        stack_mdcl_taps,
+        tap_offsets,
+    )
+
+    scales = [0, 2, 3]
+    c = 8
+    vb = VarBuilder(jax.random.PRNGKey(0))
+    vb.mdcl("blk", c, c, scales)
+    vb.mdcl("blk2", c, c, scales)
+    for i in range(3):
+        vb.bn(f"blkbnorm{i}", c)
+    v = vb.v
+    # non-trivial BN stats
+    for i in range(3):
+        v[f"blkbnorm{i}.mean"] = jnp.linspace(-0.2, 0.3, c)
+        v[f"blkbnorm{i}.inv_std"] = jnp.linspace(0.8, 1.3, c)
+        v[f"blkbnorm{i}.beta"] = jnp.linspace(-0.1, 0.1, c)
+        v[f"blkbnorm{i}.gamma"] = jnp.linspace(0.9, 1.1, c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, c)) * 0.5
+
+    ref = mdblock(v, None, "blk", x, scales, LRELU, train=False)
+
+    def affine(name):
+        s = v[f"{name}.gamma"] * v[f"{name}.inv_std"]
+        return s, v[f"{name}.beta"] - v[f"{name}.mean"] * s
+
+    def taps(name):
+        co = {s: v[f"blk{name}_coeff_{'1x1' if s == 0 else s}"] for s in scales}
+        return stack_mdcl_taps(v[f"blk{name}W"], v[f"blk{name}_coeff_base"], co, scales)
+
+    affines = affine("blkbnorm0") + affine("blkbnorm1") + affine("blkbnorm2")
+    t1 = taps("")
+    t2 = taps("2")
+    offs = tap_offsets(scales)
+
+    fused = mdblock_fused(x, t1, t2, affines, offs, 4, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(mdblock(v, None, "blk", x, scales, LRELU, False) ** 2))(x)
+    g_fused = jax.grad(
+        lambda x: jnp.sum(mdblock_fused(x, t1, t2, affines, offs, 4, True) ** 2)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_rgb_beta_head_pallas_matches_packed():
+    """The fused Pallas RGB-Beta head (interpret mode) equals the XLA packed
+    head and the plain head; its custom-VJP gradient matches XLA's."""
+    import jax
+
+    from npe_tpu.models import get_config
+    from npe_tpu.models.common import _composed_mdcl_kernel
+    from npe_tpu.ops.pallas.mdcl_kernels import rgb_beta_head_pallas
+
+    m = get_config("IAN")
+    v = m.init(jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 128)) * 0.3
+    plain = m.rgb_beta_head(v, h, mode="plain")
+
+    scales = [2, 3, 4]
+    k_trunk = jnp.concatenate(
+        [_composed_mdcl_kernel(v, n, scales) for n in ("R", "G_a", "B_a")], axis=-1
+    )
+    k_g = _composed_mdcl_kernel(v, "G_b", scales)
+    k_b = _composed_mdcl_kernel(v, "B_b", scales)
+
+    fused = rgb_beta_head_pallas(h, k_trunk, k_g, k_b, 4, 1, True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=1e-4, atol=1e-5)
+
+    g_ref = jax.grad(lambda h: jnp.sum(m.rgb_beta_head(v, h, mode="packed") ** 2))(h)
+    g_fused = jax.grad(
+        lambda h: jnp.sum(rgb_beta_head_pallas(h, k_trunk, k_g, k_b, 4, 1, True) ** 2)
+    )(h)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
