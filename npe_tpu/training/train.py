@@ -247,9 +247,28 @@ def train(
             checkpoints.save_train_state(state_fname, jax.device_get(state))
             if valid_dataset is not None:
                 from npe_tpu.training.evaluate import validation_pixel_accuracy
+                from npe_tpu.training.quality import encoder_fid
 
                 ev = validation_pixel_accuracy(module, variables, valid_dataset, cfg, max_chunks=1)
-                logging.info("validation: pixel_acc=%.4f mse=%.4f", ev["test_error"], ev["mse"])
+                n_fid = min(256, valid_dataset.num_examples)
+                real = next(
+                    iter(
+                        data_loader(
+                            {**cfg, "batches_per_chunk": max(1, n_fid // cfg["batch_size"])},
+                            valid_dataset,
+                            offset=0,
+                        )
+                    )
+                ).transpose(0, 2, 3, 1)
+                ev["encoder_fid"] = encoder_fid(
+                    module, variables, real, num=min(n_fid, len(real)), seed=epoch
+                )
+                logging.info(
+                    "validation: pixel_acc=%.4f mse=%.4f encoder_fid=%.3f",
+                    ev["test_error"],
+                    ev["mse"],
+                    ev["encoder_fid"],
+                )
                 mlog.log(epoch=epoch, itr=itr, validation=ev)
 
     logging.info("training done")

@@ -83,6 +83,7 @@ def test_train_driver_validation_logging(tmp_path):
     assert len(vrecs) == 1
     assert np.isfinite(vrecs[0]["validation"]["test_error"])
     assert np.isfinite(vrecs[0]["validation"]["mse"])
+    assert np.isfinite(vrecs[0]["validation"]["encoder_fid"])
 
 
 def test_train_driver_mesh(tmp_path):
