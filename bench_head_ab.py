@@ -46,6 +46,8 @@ def main():
     kt = jnp.concatenate([_composed_mdcl_kernel(v, n, scales) for n in ("R", "G_a", "B_a")], -1)
     kg = _composed_mdcl_kernel(v, "G_b", scales)
     kb = _composed_mdcl_kernel(v, "B_b", scales)
+    sec = time_fn(lambda h: m.rgb_beta_head(v, h, mode="hybrid"), h)
+    print(f"hybrid          {sec * 1e3:7.3f} ms/batch", flush=True)
     for nb in (1, 2):
         sec = time_fn(lambda h: rgb_beta_head_pallas(h, kt, kg, kb, 4, nb, False), h)
         print(f"pallas nb={nb:<3d}   {sec * 1e3:7.3f} ms/batch", flush=True)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Training-step throughput: alternating G/D updates (the reference's hot
+loop, `train_IAN.py:493-509`) on device-resident data, imgs/sec/chip.
+
+The whole alternation runs as ONE jitted program: `lax.scan` over G+D step
+pairs with the train state as carry (each step consumes one batch, 1:1 like
+the faithful `update_ratio=1` schedule). The host sync point is a scalar
+fetch per timed round -- no per-step dispatches, no async-dispatch mirages
+(under axon, `block_until_ready` alone is not a reliable barrier).
+
+Prints ONE JSON line. Usage: python bench_train.py [--model IAN_simple]
+[--batch 128] [--pairs 15] [--rounds 5]
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="IAN_simple")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--pairs", type=int, default=15, help="G+D step pairs per round")
+    p.add_argument("--rounds", type=int, default=5)
+    a = p.parse_args()
+
+    from npe_tpu.models import get_config
+    from npe_tpu.training import train_step as TS
+
+    module = get_config(a.model)
+    cfg = dict(module.cfg)
+    cfg["batch_size"] = a.batch
+    variables = module.init(jax.random.PRNGKey(0))
+    state = TS.init_train_state(module, variables, cfg)
+    # Un-donated step closures; they trace-inline into the scanned program
+    # (donation happens at the outer jit instead).
+    gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=False)
+    lr = 2e-4
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chained(state, x, z, key):
+        def body(state, i):
+            k = jax.random.fold_in(key, i)
+            state, _ = gen_step(state, x, z, k, lr)
+            state, m = discrim_step(state, x, z, jax.random.fold_in(k, 1), lr)
+            return state, m["pixel_loss"]
+
+        state, pl = jax.lax.scan(body, state, jnp.arange(a.pairs))
+        return state, jnp.sum(pl)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (a.batch, 64, 64, 3), jnp.float32) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (a.batch, cfg["num_latents"]))
+
+    state, s = chained(state, x, z, jax.random.PRNGKey(10))
+    checksum = float(s)  # warmup + compile
+
+    times = []
+    for r in range(a.rounds):
+        t0 = time.perf_counter()
+        state, s = chained(state, x, z, jax.random.PRNGKey(100 + r))
+        checksum = float(s)
+        times.append(time.perf_counter() - t0)
+    assert jnp.isfinite(checksum)
+    times.sort()
+    dt = times[len(times) // 2]
+
+    n_steps = 2 * a.pairs
+    imgs_per_sec = a.batch * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{a.model.lower()}_train_step_throughput",
+                "value": round(imgs_per_sec, 1),
+                "unit": "imgs/sec/chip",
+                "batch": a.batch,
+                "ms_per_step": round(dt / n_steps * 1e3, 3),
+                "spread_frac": round((times[-1] - times[0]) / dt, 3),
+                "round_times_s": [round(t, 3) for t in times],
+                "rounds": a.rounds,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -168,14 +168,16 @@ def rgb_beta_head(v, h, scales=(2, 3, 4), mode=None, block=4):
     scales = list(scales)
     mode = mode or HEAD_MODE
     if mode == "auto":
-        # Isolated A/B (bench_head_ab.py) puts the XLA packed head ~15%
-        # ahead of the fused Pallas kernel (1.55 vs 1.81 ms/b128), but END
-        # TO END the kernel version of the full decode measures ~3% faster
-        # (15.8k vs 15.4k imgs/s at b256) -- in-context scheduling/fusion
-        # differ from the isolated chain. "auto" trusts the end-to-end
-        # number: pallas on TPU, packed elsewhere.
-        mode = "pallas" if jax.default_backend() == "tpu" else "packed"
+        # End-to-end full-IAN A/B at b256 on v5e (isolated per-head numbers
+        # in parentheses, bench_head_ab.py): hybrid 16.3k imgs/s (1.70ms),
+        # all-Pallas head 15.8k (1.81ms), XLA packed 15.3k (1.57ms) --
+        # in-context scheduling/fusion differ from the isolated chain, and
+        # the hybrid (XLA trunk conv + Pallas autoregressive-tail kernel)
+        # wins where it counts. "auto" = hybrid on TPU, packed elsewhere.
+        mode = "hybrid" if jax.default_backend() == "tpu" else "packed"
     divisible = h.shape[1] % block == 0 and h.shape[2] % block == 0
+    if mode == "hybrid" and divisible and block == 4 and max(scales) == 4:
+        return _rgb_beta_head_hybrid(v, h, scales, block)
     if mode == "pallas" and divisible and block == 4 and max(scales) == 4:
         from npe_tpu.ops.pallas.mdcl_kernels import rgb_beta_head_pallas
 
@@ -202,6 +204,33 @@ def rgb_beta_head(v, h, scales=(2, 3, 4), mode=None, block=4):
         ],
         axis=-1,
     )
+
+
+def _rgb_beta_head_hybrid(v, h, scales, r):
+    """Packed trunk conv in XLA (MXU-compute-bound; XLA's conv scheduling
+    wins there) + ONE Pallas kernel for the whole autoregressive tail
+    (sigmoids, tiny G_b/B_b MDCLs, Beta means) -- the tail is ~2M MACs spread
+    over 8+ XLA dispatches otherwise. Same math as the packed head."""
+    from npe_tpu.ops.conv import depth_to_space, pack_kernel_s2d, s2d_block_taps, space_to_depth
+    from npe_tpu.ops.pallas.mdcl_kernels import pack_head_taps, rgb_beta_tail_pallas
+
+    rr = r * r
+    n, hh, ww = h.shape[0], h.shape[1] // r, h.shape[2] // r
+    k_trunk = jnp.concatenate(
+        [_composed_mdcl_kernel(v, name, scales) for name in ("R", "G_a", "B_a")], axis=-1
+    )
+    kp = pack_kernel_s2d(k_trunk.astype(h.dtype), r)  # (T, T, rr*Cin, rr*6) pos-major out
+    t = s2d_block_taps(k_trunk.shape[0], r)
+    # Emit component-major output channels (comp*rr + pos) straight from the
+    # conv so the tail kernel's slices are contiguous lane ranges.
+    kp = kp.reshape(t, t, kp.shape[2], rr, 6).swapaxes(-2, -1).reshape(t, t, kp.shape[2], 6 * rr)
+    trunk_cm = conv2d(space_to_depth(h, r), kp, stride=1, padding=t // 2)
+    tg = pack_head_taps(_composed_mdcl_kernel(v, "G_b", scales).astype(h.dtype), r, True)
+    tb = pack_head_taps(_composed_mdcl_kernel(v, "B_b", scales).astype(h.dtype), r, True)
+    interpret = jax.default_backend() != "tpu"
+    out_cm = rgb_beta_tail_pallas(trunk_cm, tg, tb, rr, 8, interpret)
+    out = out_cm.reshape(n, hh, ww, 3, rr).transpose(0, 1, 2, 4, 3).reshape(n, hh, ww, rr * 3)
+    return depth_to_space(out, r)
 
 
 def _rgb_beta_head_packed(v, h, scales, r):

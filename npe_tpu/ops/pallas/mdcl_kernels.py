@@ -315,6 +315,129 @@ def _beta_head_impl(x, k_trunk, k_g, k_b, r, block_n, interpret):
     return depth_to_space(out, r)
 
 
+# ---------------------------------------------------------------------------
+# Hybrid head: XLA computes the trunk conv (it is MXU-compute-bound, where
+# XLA's conv scheduling beats a hand kernel), then ONE small Pallas kernel
+# runs the whole autoregressive tail -- sigmoids, the tiny G_b/B_b MDCLs over
+# the color channels, and the Beta means (reference `IAN.py:189-207`). As
+# separate XLA ops the tail is ~2M MACs spread over 8+ dispatches, each
+# round-tripping small tensors through HBM; fused it is one VMEM-resident
+# pass. Unlike rgb_beta_head_pallas, the 2048-wide packed trunk INPUT never
+# enters this kernel, so many images fit per grid step.
+# ---------------------------------------------------------------------------
+
+
+def _beta_tail_kernel(rr, tr_ref, tg_ref, tb_ref, out_ref):
+    # tr_ref: (NB, HH, WW, 6*rr) component-major trunk pre-activations.
+    nb, hh, ww = tr_ref.shape[0], tr_ref.shape[1], tr_ref.shape[2]
+    mx = tr_ref.dtype
+    rows = nb * hh * ww
+    trunk = tr_ref[:].astype(jnp.float32).reshape(rows, 6 * rr)
+
+    def pad1(v):
+        return jnp.pad(v.astype(mx), ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def unflat(v2d, c):
+        return v2d.reshape(nb, hh, ww, c)
+
+    red = jax.nn.sigmoid(trunk[:, 0 : 2 * rr])
+    g_pre = _tap_matmul_sum(pad1(unflat(red, 2 * rr)), tg_ref, hh, ww)
+    grn = jax.nn.sigmoid(trunk[:, 2 * rr : 4 * rr] + g_pre)
+    rg = jnp.concatenate([red, grn], axis=-1)
+    b_pre = _tap_matmul_sum(pad1(unflat(rg, 4 * rr)), tb_ref, hh, ww)
+    blu = jax.nn.sigmoid(trunk[:, 4 * rr : 6 * rr] + b_pre)
+
+    def beta(c2):
+        a, b = c2[:, 0:rr], c2[:, rr : 2 * rr]
+        return 2.0 * (a / (a + b + 1e-8)) - 1.0
+
+    out = jnp.concatenate([beta(red), beta(grn), beta(blu)], axis=-1)
+    out_ref[:] = unflat(out, 3 * rr).astype(out_ref.dtype)
+
+
+def rgb_beta_tail_reference(trunk_cm, tg_taps, tb_taps, rr):
+    """Pure-jnp formulation of _beta_tail_kernel (also the custom-VJP
+    backward). trunk_cm: (N, HH, WW, 6*rr) component-major; taps from
+    pack_head_taps(..., in_comp_major=True)."""
+    hh, ww = trunk_cm.shape[1], trunk_cm.shape[2]
+
+    def tap_conv(h, taps):
+        hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = 0.0
+        t = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                sl = hp[:, 1 + dy : 1 + dy + hh, 1 + dx : 1 + dx + ww, :]
+                out = out + jnp.einsum(
+                    "nhwc,cd->nhwd", sl.astype(jnp.float32), taps[t].astype(jnp.float32)
+                )
+                t += 1
+        return out
+
+    trunk = trunk_cm.astype(jnp.float32)
+    red = jax.nn.sigmoid(trunk[..., 0 : 2 * rr])
+    g_pre = tap_conv(red.astype(trunk_cm.dtype), tg_taps.astype(trunk_cm.dtype))
+    grn = jax.nn.sigmoid(trunk[..., 2 * rr : 4 * rr] + g_pre)
+    rg = jnp.concatenate([red, grn], axis=-1)
+    b_pre = tap_conv(rg.astype(trunk_cm.dtype), tb_taps.astype(trunk_cm.dtype))
+    blu = jax.nn.sigmoid(trunk[..., 4 * rr : 6 * rr] + b_pre)
+
+    def beta(c2):
+        a, b = c2[..., 0:rr], c2[..., rr : 2 * rr]
+        return 2.0 * (a / (a + b + 1e-8)) - 1.0
+
+    out = jnp.concatenate([beta(red), beta(grn), beta(blu)], axis=-1)
+    return out.astype(trunk_cm.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def rgb_beta_tail_pallas(trunk_cm, tg_taps, tb_taps, rr, block_n=8, interpret=False):
+    """Fused autoregressive RGB-Beta tail. trunk_cm: (N, HH, WW, 6*rr)
+    component-major trunk pre-activations; tg_taps (9, 2rr, 2rr) / tb_taps
+    (9, 4rr, 2rr) from pack_head_taps(in_comp_major=True). Returns
+    (N, HH, WW, 3*rr) component-major Beta means."""
+    return _beta_tail_impl(trunk_cm, tg_taps, tb_taps, rr, block_n, interpret)
+
+
+def _beta_tail_impl(trunk_cm, tg_taps, tb_taps, rr, block_n, interpret):
+    n, hh, ww, c6 = trunk_cm.shape
+    nb = block_n
+    while n % nb:
+        nb //= 2
+    nb = max(nb, 1)
+    kern = functools.partial(_beta_tail_kernel, rr)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hh, ww, 3 * rr), trunk_cm.dtype),
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, hh, ww, c6), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, hh, ww, 3 * rr), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(trunk_cm, tg_taps.astype(trunk_cm.dtype), tb_taps.astype(trunk_cm.dtype))
+
+
+def _tail_fwd(trunk_cm, tg_taps, tb_taps, rr, block_n, interpret):
+    y = _beta_tail_impl(trunk_cm, tg_taps, tb_taps, rr, block_n, interpret)
+    return y, (trunk_cm, tg_taps, tb_taps)
+
+
+def _tail_bwd(rr, block_n, interpret, res, g):
+    trunk_cm, tg_taps, tb_taps = res
+    _, vjp = jax.vjp(
+        lambda t, kg, kb: rgb_beta_tail_reference(t, kg, kb, rr), trunk_cm, tg_taps, tb_taps
+    )
+    return vjp(g)
+
+
+rgb_beta_tail_pallas.defvjp(_tail_fwd, _tail_bwd)
+
+
 def _head_fwd(x, k_trunk, k_g, k_b, r, block_n, interpret):
     y = _beta_head_impl(x, k_trunk, k_g, k_b, r, block_n, interpret)
     return y, (x, k_trunk, k_g, k_b)

@@ -179,3 +179,24 @@ def test_rgb_beta_head_pallas_matches_packed():
         lambda h: jnp.sum(rgb_beta_head_pallas(h, k_trunk, k_g, k_b, 4, 1, True) ** 2)
     )(h)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_rgb_beta_head_hybrid_matches_plain():
+    """The hybrid head (XLA packed trunk conv + Pallas autoregressive-tail
+    kernel, interpret mode on CPU) equals the plain head; its custom-VJP
+    gradient matches the packed head's."""
+    import jax
+
+    from npe_tpu.models import get_config
+
+    m = get_config("IAN")
+    v = m.init(jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 128)) * 0.3
+
+    plain = m.rgb_beta_head(v, h, mode="plain")
+    hybrid = m.rgb_beta_head(v, h, mode="hybrid")
+    np.testing.assert_allclose(np.asarray(hybrid), np.asarray(plain), rtol=1e-4, atol=1e-5)
+
+    g_ref = jax.grad(lambda h: jnp.sum(m.rgb_beta_head(v, h, mode="packed") ** 2))(h)
+    g_hyb = jax.grad(lambda h: jnp.sum(m.rgb_beta_head(v, h, mode="hybrid") ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g_hyb), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
