@@ -40,8 +40,24 @@ def init_multihost(coordinator, num_processes, process_id, local_devices=None, m
     if local_devices:
         # CPU-process mode. These must land before the first backend touch
         # (do NOT query jax.devices()/default_backend() first).
+        import os
+
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", int(local_devices))
+        # Raise the collective-rendezvous watchdog (default 20 s/40 s SIGABRT):
+        # on few-core hosts a long sharded program legitimately skews device-
+        # thread arrival far past it.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "collective_call_terminate_timeout" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+            ).strip()
+        # XLA:CPU's collective rendezvous aborts (SIGABRT) if all local
+        # participants don't arrive within a hard 40 s watchdog; with async
+        # dispatch two sharded programs can be in flight and starve each
+        # other's rendezvous on few-core hosts. One program at a time.
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:
@@ -129,8 +145,19 @@ def demo_step(mesh, batch_size=16, config="IAN_simple", seed=0):
     z = np.asarray(jax.random.normal(jax.random.PRNGKey(seed + 2), (batch_size, cfg["num_latents"])))
     xg = put_batch(x, mesh)
     zg = put_batch(z, mesh)
-    state, m1 = gen_step(state, xg, zg, jax.random.PRNGKey(seed + 3), 2e-4)
-    state, m2 = discrim_step(state, xg, zg, jax.random.PRNGKey(seed + 4), 2e-4)
+    k3, k4 = jax.random.PRNGKey(seed + 3), jax.random.PRNGKey(seed + 4)
+    # AOT-compile BOTH programs locally (compilation needs no peers), then
+    # barrier, then execute in lockstep. Without this, the first process to
+    # finish its multi-minute compile reaches the step's first cross-process
+    # collective alone and gloo's 30 s key-value GetKeyValue deadline expires
+    # before the slower process arrives (observed DEADLINE_EXCEEDED on
+    # loaded/slow hosts; compile skew is unbounded, execution skew is not).
+    gen_c = gen_step.lower(state, xg, zg, k3, 2e-4).compile()
+    discrim_c = discrim_step.lower(state, xg, zg, k4, 2e-4).compile()
+    multihost_utils.sync_global_devices("npe_tpu.multihost.compiled")
+    state, m1 = gen_c(state, xg, zg, k3, 2e-4)
+    jax.block_until_ready(m1)  # never two sharded programs in flight
+    state, m2 = discrim_c(state, xg, zg, k4, 2e-4)
     out = {k: float(v) for k, v in m1.items()}
     out.update({k: float(v) for k, v in m2.items()})
     return out
@@ -151,13 +178,23 @@ def main():
     metrics = demo_step(mesh, batch_size=a.batch_size)
     if jax.process_index() == 0:
         print("MULTIHOST_METRICS " + json.dumps(metrics), flush=True)
-    # Align all processes before teardown: on a loaded host the slower
-    # process can otherwise miss the coordination-service shutdown barrier
-    # (DEADLINE_EXCEEDED) after the faster one exits.
+    # Align all processes once more (proves every process finished the step),
+    # then exit WITHOUT the coordinated jax.distributed.shutdown(): its
+    # shutdown barrier (300 s deadline) and the gloo teardown behind it
+    # intermittently wedge one task on slow single-core hosts AFTER all real
+    # work succeeded, turning a green run into a fatal
+    # "Shutdown barrier has failed" abort in the peer. The demo's contract is
+    # the printed metrics; a hard exit after the final device sync is the
+    # robust teardown here (real pod deployments should keep shutdown()).
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("npe_tpu.multihost.done")
-    jax.distributed.shutdown()
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(0)
 
 
 if __name__ == "__main__":
