@@ -4,6 +4,10 @@ All editing logic lives in `EditSession`; this module is pure presentation:
 a 256x256 output canvas (64x64 image at 4x), a 160x160 latent canvas
 (10x10 cells at 16 px), color-gradient bar, brush-size and color sliders,
 and the Sample/Reset/Update/Infer/Col buttons.
+
+The coordinate/color math is factored into widget-free helpers
+(`signed_color`, `brush_box`, `paint_cell_bounds`, `gradient_swatches`) so
+the presentation layer is testable without a display.
 """
 
 import numpy as np
@@ -12,34 +16,57 @@ from npe_tpu.editor.engine import EditSession
 from npe_tpu.utils.ranges import to_tanh
 
 
-def rgb(r, g, b):
-    return "#%02x%02x%02x" % (r, g, b)
+def hex_color(r, g, b):
+    return f"#{r:02x}{g:02x}{b:02x}"
 
 
-def rb(i):
-    """Bidirectional red/blue scale for signed latent values (`NPE.py:32-34`)."""
-    i = int(i)
-    return rgb(
-        255 + max(int(i * int(i < 0)), -255),
-        255 - min(abs(int(i)), 255),
-        255 - min(int(i * int(i > 0)), 255),
-    )
+def signed_color(v):
+    """Diverging blue(-255) .. white(0) .. red(+255) scale for visualizing
+    signed latent cell values (the reference's red/blue ramp, `NPE.py:32-34`):
+    positive values fade green+blue toward pure red, negative fade red+green
+    toward pure blue."""
+    v = int(np.clip(v, -255, 255))
+    fade = 255 - abs(v)
+    return hex_color(255, fade, fade) if v >= 0 else hex_color(fade, fade, 255)
+
+
+def brush_box(x, y, brush_px, scale, w, h):
+    """Map a canvas cursor position to an image-space brush square
+    (`NPE.py:143-161`): side = brush_px//scale + 1 pixels, centered on the
+    cursor, clamped fully inside the (w, h) image. Returns (xmin, ymin, side)
+    in image pixels."""
+    side = brush_px // scale + 1
+    xmin = int(np.clip(x // scale - side // 2, 0, w - side))
+    ymin = int(np.clip(y // scale - side // 2, 0, h - side))
+    return xmin, ymin, side
+
+def paint_cell_bounds(x, y, half, border, shape):
+    """Clamped [y1:y2, x1:x2] slice bounds for a latent-canvas paint dab of
+    half-width `half` centered at canvas coords (x, y), after removing the
+    Tk canvas border offset (`NPE.py:283-288`)."""
+    rows, cols = shape
+    y1 = min(max(y - half - border, 0), rows)
+    y2 = min(max(y + half - border, 0), rows)
+    x1 = min(max(x - half - border, 0), cols)
+    x2 = min(max(x + half - border, 0), cols)
+    return y1, y2, x1, x2
+
+
+def gradient_swatches(width, lo=-255, hi=255):
+    """(x, color) pairs painting a `width`-pixel horizontal strip sweeping
+    `signed_color` from lo to hi."""
+    values = np.linspace(lo, hi, width)
+    return [(x, signed_color(v)) for x, v in enumerate(values)]
+
+
+def pool_latent_canvas(canvas, dim, res):
+    """Per-cell mean pooling of the free-painted latent canvas
+    (`NPE.py:289-291`)."""
+    return canvas.reshape(dim[0], res, dim[1], res).mean(axis=(1, 3))
 
 
 def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", scale=4, res=16):
-    from tkinter import (
-        HORIZONTAL,
-        LEFT,
-        NW,
-        TOP,
-        Button,
-        Canvas,
-        Entry,
-        Frame,
-        IntVar,
-        Scale,
-        Tk,
-    )
+    import tkinter as tk
     from tkinter.colorchooser import askcolor
 
     from PIL import Image, ImageTk
@@ -53,32 +80,31 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
     except (FileNotFoundError, KeyError):
         valid = None
 
-    master = Tk()
+    master = tk.Tk()
     master.title("Neural Photo Editor (TPU)")
 
-    color = IntVar()
-    color.set(0)
-    d = IntVar()
-    d.set(12)
+    color = tk.IntVar(value=0)
+    d = tk.IntVar(value=12)
     mycol = [0, 0, 0]
     painted_rects = []
     rects = np.zeros(dim, dtype=int)
     r_canvas = np.zeros((res * dim[0], res * dim[1]), np.float32)
     bd = 2
 
-    f = Frame(master)
-    f.pack(side=TOP)
-    output = Canvas(f, name="output", width=w * scale, height=h * scale)
+    top = tk.Frame(master)
+    top.pack(side=tk.TOP)
+    output = tk.Canvas(top, name="output", width=w * scale, height=h * scale)
     pixel_rect = output.create_rectangle(0, 0, scale, scale, outline="yellow")
     output.pack()
 
-    f2 = Frame(master, width=res * dim[0], height=dim[1] * 10)
-    f2.pack(side=TOP)
-    latent_canvas = Canvas(f2, name="canvas", width=res * dim[0], height=res * dim[1])
+    mid = tk.Frame(master, width=res * dim[0], height=dim[1] * 10)
+    mid.pack(side=tk.TOP)
+    latent_canvas = tk.Canvas(mid, name="canvas", width=res * dim[0], height=res * dim[1])
+    blank = signed_color(0)
     for i in range(dim[0]):
         for j in range(dim[1]):
             rects[i, j] = latent_canvas.create_rectangle(
-                j * res, i * res, (j + 1) * res, (i + 1) * res, fill=rb(0), outline=rb(0)
+                j * res, i * res, (j + 1) * res, (i + 1) * res, fill=blank, outline=blank
             )
     latent_canvas.pack()
 
@@ -89,7 +115,7 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
         data = np.repeat(np.repeat(np.uint8(data), scale, 1), scale, 2)
         im = Image.fromarray(data.transpose(1, 2, 0), mode="RGB")
         output.photo = ImageTk.PhotoImage(image=im)
-        output.create_image(0, 0, image=output.photo, anchor=NW)
+        output.create_image(0, 0, image=output.photo, anchor=tk.NW)
         output.tag_raise(pixel_rect)
 
     def update_canvas():
@@ -100,20 +126,16 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
         zg = session.Z_grid
         for i in range(dim[0]):
             for j in range(dim[1]):
-                latent_canvas.itemconfig(
-                    int(rects[i, j]), fill=rb(255 * zg[i, j]), outline=rb(255 * zg[i, j])
-                )
+                cell = signed_color(255 * zg[i, j])
+                latent_canvas.itemconfig(int(rects[i, j]), fill=cell, outline=cell)
 
     def move_mouse(event):
-        x, y = event.x // scale, event.y // scale
-        bwidth = (d.get() // scale) + 1
-        xmin = max(min(x - bwidth // 2, w - bwidth), 0)
-        ymin = max(min(y - bwidth // 2, h - bwidth), 0)
+        xmin, ymin, side = brush_box(event.x, event.y, d.get(), scale, w, h)
         output.coords(
-            pixel_rect, scale * xmin, scale * ymin, scale * (xmin + bwidth), scale * (ymin + bwidth)
+            pixel_rect, scale * xmin, scale * ymin, scale * (xmin + side), scale * (ymin + side)
         )
         output.tag_raise(pixel_rect)
-        output.itemconfig(pixel_rect, outline=rgb(*[int(c) for c in mycol]))
+        output.itemconfig(pixel_rect, outline=hex_color(*[int(c) for c in mycol]))
 
     def paint(event):
         move_mouse(event)
@@ -123,20 +145,20 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
         update_photo(session.im_uint8())
 
     def paint_latents(event):
-        x1, y1 = event.x - d.get(), event.y - d.get()
-        x2, y2 = event.x + d.get(), event.y + d.get()
+        dab = signed_color(color.get())
         painted_rects.append(
             event.widget.create_rectangle(
-                x1, y1, x2, y2, fill=rb(color.get()), outline=rb(color.get())
+                event.x - d.get(),
+                event.y - d.get(),
+                event.x + d.get(),
+                event.y + d.get(),
+                fill=dab,
+                outline=dab,
             )
         )
-        r_canvas[
-            max(y1 - bd, 0) : min(y2 - bd, r_canvas.shape[0]),
-            max(x1 - bd, 0) : min(x2 - bd, r_canvas.shape[1]),
-        ] = color.get() / 255.0
-        # Per-cell mean pooling of the painted canvas (`NPE.py:289-291`).
-        zg = r_canvas.reshape(dim[0], res, dim[1], res).mean(axis=(1, 3))
-        session.set_latents(zg)
+        y1, y2, x1, x2 = paint_cell_bounds(event.x, event.y, d.get(), bd, r_canvas.shape)
+        r_canvas[y1:y2, x1:x2] = color.get() / 255.0
+        session.set_latents(pool_latent_canvas(r_canvas, dim, res))
         update_canvas()
         update_photo(session.im_uint8())
 
@@ -175,14 +197,13 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
         update_photo(session.im_uint8())
 
     def update_brush(event):
-        brush.create_rectangle(0, 0, 25, 25, fill=rgb(255, 255, 255), outline=rgb(255, 255, 255))
+        white = hex_color(255, 255, 255)
+        brush.create_rectangle(0, 0, 25, 25, fill=white, outline=white)
+        half = d.get() / 4.0
+        dab = signed_color(color.get())
         brush.create_rectangle(
-            int(12.5 - d.get() / 4.0),
-            int(12.5 - d.get() / 4.0),
-            int(12.5 + d.get() / 4.0),
-            int(12.5 + d.get() / 4.0),
-            fill=rb(color.get()),
-            outline=rb(color.get()),
+            int(12.5 - half), int(12.5 - half), int(12.5 + half), int(12.5 + half),
+            fill=dab, outline=dab,
         )
 
     def get_color():
@@ -195,30 +216,45 @@ def run(config="IAN_simple", weights_path=None, valid_npz="CelebAValid.npz", sca
     output.bind("<B1-Motion>", paint)
     latent_canvas.bind("<B1-Motion>", paint_latents)
 
-    gradient = Canvas(master, width=400, height=20)
-    gradient.pack(side=TOP)
-    for j in range(-200, 200):
-        gradient.create_rectangle(
-            j * 255 / 200 + 200, 0, j * 255 / 200 + 201, 20, fill=rb(j * 255 / 200), outline=rb(j * 255 / 200)
-        )
-    Scale(
-        master, from_=-255, to=255, length=400, variable=color, orient=HORIZONTAL, showvalue=0, command=update_brush
-    ).pack(side=TOP)
+    gradient = tk.Canvas(master, width=400, height=20)
+    gradient.pack(side=tk.TOP)
+    for x, swatch in gradient_swatches(400):
+        gradient.create_rectangle(x, 0, x + 1, 20, fill=swatch, outline=swatch)
 
-    f3 = Frame(master)
-    Button(f3, text="Sample", command=sample).pack(side=LEFT)
-    Button(f3, text="Reset", command=reset).pack(side=LEFT)
-    Button(f3, text="Update", command=update_gim).pack(side=LEFT)
-    brush = Canvas(f3, width=25, height=25)
-    Scale(
-        f3, from_=0, to=64, length=100, width=25, variable=d, orient=HORIZONTAL, showvalue=0, command=update_brush
-    ).pack(side=LEFT)
-    brush.pack(side=LEFT)
-    Button(f3, text="Infer", command=infer).pack(side=LEFT)
-    Button(f3, text="Col", command=get_color).pack(side=LEFT)
-    myentry = Entry(f3)
-    myentry.pack(side=LEFT)
-    f3.pack(side=TOP)
+    color_slider = tk.Scale(
+        master,
+        variable=color,
+        orient=tk.HORIZONTAL,
+        from_=-255,
+        to=255,
+        length=400,
+        showvalue=0,
+        command=update_brush,
+    )
+    color_slider.pack(side=tk.TOP)
+
+    bar = tk.Frame(master)
+    for label, cmd in (("Sample", sample), ("Reset", reset), ("Update", update_gim)):
+        tk.Button(bar, text=label, command=cmd).pack(side=tk.LEFT)
+    brush = tk.Canvas(bar, width=25, height=25)
+    size_slider = tk.Scale(
+        bar,
+        variable=d,
+        orient=tk.HORIZONTAL,
+        from_=0,
+        to=64,
+        length=100,
+        width=25,
+        showvalue=0,
+        command=update_brush,
+    )
+    size_slider.pack(side=tk.LEFT)
+    brush.pack(side=tk.LEFT)
+    for label, cmd in (("Infer", infer), ("Col", get_color)):
+        tk.Button(bar, text=label, command=cmd).pack(side=tk.LEFT)
+    myentry = tk.Entry(bar)
+    myentry.pack(side=tk.LEFT)
+    bar.pack(side=tk.TOP)
 
     print("Running")
     if valid is not None:

@@ -173,8 +173,17 @@ def rgb_beta_head(v, h, scales=(2, 3, 4), mode=None, block=4):
         # all-Pallas head 15.8k (1.81ms), XLA packed 15.3k (1.57ms) --
         # in-context scheduling/fusion differ from the isolated chain, and
         # the hybrid (XLA trunk conv + Pallas autoregressive-tail kernel)
-        # wins where it counts. "auto" = hybrid on TPU, packed elsewhere.
-        mode = "hybrid" if jax.default_backend() == "tpu" else "packed"
+        # wins where it counts. "auto" = hybrid on a SINGLE-device TPU
+        # process, packed elsewhere: pallas_call has no GSPMD partitioning
+        # rule, so inside a sharded program on a multi-device mesh XLA would
+        # fail to partition it (or replicate the trunk with all-gathers) --
+        # the pure-XLA packed head shards cleanly. Multi-device users who
+        # shard-map the head themselves can still opt in via NPE_HEAD_MODE.
+        mode = (
+            "hybrid"
+            if jax.default_backend() == "tpu" and len(jax.devices()) == 1
+            else "packed"
+        )
     divisible = h.shape[1] % block == 0 and h.shape[2] % block == 0
     if mode == "hybrid" and divisible and block == 4 and max(scales) == 4:
         return _rgb_beta_head_hybrid(v, h, scales, block)
@@ -283,14 +292,27 @@ def _bn_affine(v, name):
     return s, t
 
 
+def _mdblock_fused_enabled():
+    """'force' enables the fused kernel anywhere (interpret mode off-TPU --
+    lets CPU tests exercise the real dispatch path incl. in-situ tap/affine
+    assembly); 'auto' requires a single-device TPU process (pallas_call has
+    no GSPMD partitioning rule, same gate as the head's 'auto')."""
+    if MDBLOCK_FUSED == "force":
+        return True
+    return (
+        MDBLOCK_FUSED == "auto"
+        and jax.default_backend() == "tpu"
+        and len(jax.devices()) == 1
+    )
+
+
 def mdblock(v, upd, name, x, scales, act, train):
     """MDBLOCK (reference `layers.py:411-416`): pre-activation residual
     nl(BN2(x + MDCL2(nl(BN1(MDCL1(nl(BN0(x))))))))."""
     if (
         not train
         and act is LRELU
-        and MDBLOCK_FUSED == "auto"
-        and jax.default_backend() == "tpu"
+        and _mdblock_fused_enabled()
         and x.shape[-1] <= 256
         and x.shape[1] >= 8
     ):
@@ -300,7 +322,14 @@ def mdblock(v, upd, name, x, scales, act, train):
             _stacked_mdcl_taps(v, n, scales) for n in (name, f"{name}2")
         )
         affines = sum((_bn_affine(v, f"{name}bnorm{i}") for i in range(3)), ())
-        return mdblock_fused(x, taps1, taps2, affines, tap_offsets(scales))
+        return mdblock_fused(
+            x,
+            taps1,
+            taps2,
+            affines,
+            tap_offsets(scales),
+            interpret=jax.default_backend() != "tpu",
+        )
     h = act(bn(v, upd, f"{name}bnorm0", x, train))
     h = mdcl(v, name, h, scales)
     h = act(bn(v, upd, f"{name}bnorm1", h, train))

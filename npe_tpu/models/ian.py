@@ -60,8 +60,8 @@ def init(key):
     vb = VarBuilder(key)
     common.init_encoder(vb, NUM_LATENTS)
     # IAF MADE nets (masks are deterministic state; see ops/made.py).
-    vb.v.update(made_init(vb.key(), "l_IAF_mu", NUM_LATENTS, MADE_HIDDEN))
-    vb.v.update(made_init(vb.key(), "l_IAF_ls", NUM_LATENTS, MADE_HIDDEN))
+    vb.v.update(made_init(vb.key(), "l_IAF_mu", NUM_LATENTS, MADE_HIDDEN, n_shuffles=cfg["n_shuffles"]))
+    vb.v.update(made_init(vb.key(), "l_IAF_ls", NUM_LATENTS, MADE_HIDDEN, n_shuffles=cfg["n_shuffles"]))
     vb.dense("l_dec_fc2", NUM_LATENTS, 512 * 16, bias=True)
     vb.deconv("dec_conv1", 512, 512, bias=True)
     _mdblock_init(vb, "dec_conv2a", 512, [0, 2])

@@ -53,8 +53,8 @@ MADE_HIDDEN = [NUM_LATENTS]
 def init(key):
     vb = VarBuilder(key)
     common.init_encoder(vb, NUM_LATENTS)
-    vb.v.update(made_init(vb.key(), "l_IAF_mu", NUM_LATENTS, MADE_HIDDEN))
-    vb.v.update(made_init(vb.key(), "l_IAF_ls", NUM_LATENTS, MADE_HIDDEN))
+    vb.v.update(made_init(vb.key(), "l_IAF_mu", NUM_LATENTS, MADE_HIDDEN, n_shuffles=cfg["n_shuffles"]))
+    vb.v.update(made_init(vb.key(), "l_IAF_ls", NUM_LATENTS, MADE_HIDDEN, n_shuffles=cfg["n_shuffles"]))
     vb.dense("l_dec_fc2", NUM_LATENTS, 1024 * 16, bias=True)
     vb.deconv("dec_conv1", 1024, 512, bias=False)
     vb.bn("bnorm_dc1", 512)

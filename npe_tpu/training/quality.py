@@ -86,14 +86,23 @@ def model_samples(module, variables, num, batch_size=64, seed=0):
     return np.concatenate(outs)[:num]
 
 
-def encoder_fid(module, variables, real_images_nhwc, num=None, batch_size=64, seed=0):
+def encoder_fid(
+    module, variables, real_images_nhwc, num=None, batch_size=64, seed=0, feature_variables=None
+):
     """Frechet distance between encoder features of `real_images_nhwc`
-    (N, 64, 64, 3) in [-1, 1] and the same number of model samples."""
+    (N, 64, 64, 3) in [-1, 1] and the same number of model samples.
+
+    `feature_variables` fixes the encoder defining the feature space; pass a
+    reference checkpoint's variables so the metric is comparable across
+    checkpoints of a run (with the default None, features come from the
+    *current* `variables` and the per-epoch curve conflates encoder drift
+    with sample-quality change)."""
     num = num or real_images_nhwc.shape[0]
     batch_size = max(1, min(batch_size, num))  # small sets: one short batch
-    real = batched_features(module, variables, real_images_nhwc[:num], batch_size)
+    fv = variables if feature_variables is None else feature_variables
+    real = batched_features(module, fv, real_images_nhwc[:num], batch_size)
     gen = batched_features(
-        module, variables, model_samples(module, variables, num, batch_size, seed), batch_size
+        module, fv, model_samples(module, variables, num, batch_size, seed), batch_size
     )
     return frechet_distance(*feature_stats(real), *feature_stats(gen))
 

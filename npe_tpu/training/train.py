@@ -78,6 +78,7 @@ def train(
     profile_dir=None,
     valid_dataset_spec=None,
     num_valid_examples=1024,
+    fid_feature_weights=None,
 ):
     module = get_config(config)
     cfg = dict(module.cfg)
@@ -87,6 +88,7 @@ def train(
         cfg.update(cfg_overrides)
 
     name = cfg["model"]
+    os.makedirs(out_dir, exist_ok=True)
     weights_fname = os.path.join(out_dir, name + ".npz")
     state_fname = os.path.join(out_dir, name + "_train_state.npz")
     metrics_fname = os.path.join(out_dir, name + "METRICS.jsonl")
@@ -145,6 +147,12 @@ def train(
     d_acc_ema = 0.5
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
+    # Frozen feature space for encoder-FID: a passed checkpoint, else the
+    # first validation checkpoint of this run (set in the loop below).
+    fid_feature_vars = None
+    if fid_feature_weights:
+        fid_feature_vars = module.init(jax.random.PRNGKey(seed))
+        checkpoints.load_weights(fid_feature_weights, fid_feature_vars)
 
     for epoch in range(min_epoch, cfg["max_epochs"]):
         offset = not offset
@@ -250,19 +258,41 @@ def train(
                 from npe_tpu.training.quality import encoder_fid
 
                 ev = validation_pixel_accuracy(module, variables, valid_dataset, cfg, max_chunks=1)
+                # FID batch clamped to the validation set size so small sets
+                # still yield one chunk (evaluate.py handles the same case).
                 n_fid = min(256, valid_dataset.num_examples)
-                real = next(
+                fid_bs = min(cfg["batch_size"], n_fid)
+                chunk = next(
                     iter(
                         data_loader(
-                            {**cfg, "batches_per_chunk": max(1, n_fid // cfg["batch_size"])},
+                            {
+                                **cfg,
+                                "batch_size": fid_bs,
+                                "batches_per_chunk": max(1, n_fid // fid_bs),
+                            },
                             valid_dataset,
                             offset=0,
                         )
-                    )
-                ).transpose(0, 2, 3, 1)
-                ev["encoder_fid"] = encoder_fid(
-                    module, variables, real, num=min(n_fid, len(real)), seed=epoch
+                    ),
+                    None,
                 )
+                if chunk is None:
+                    ev["encoder_fid"] = float("nan")
+                else:
+                    real = chunk.transpose(0, 2, 3, 1)
+                    # The FIRST validation checkpoint freezes the feature
+                    # space (quality.py: comparing FIDs from a drifting
+                    # encoder conflates encoder movement with sample quality).
+                    if fid_feature_vars is None:
+                        fid_feature_vars = jax.device_get(variables)
+                    ev["encoder_fid"] = encoder_fid(
+                        module,
+                        variables,
+                        real,
+                        num=min(n_fid, len(real)),
+                        seed=epoch,
+                        feature_variables=fid_feature_vars,
+                    )
                 logging.info(
                     "validation: pixel_acc=%.4f mse=%.4f encoder_fid=%.3f",
                     ev["test_error"],
@@ -294,6 +324,12 @@ def main():
     p.add_argument("--batches-per-chunk", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=None)
     p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first chunk")
+    p.add_argument(
+        "--fid-feature-weights",
+        default=None,
+        help="checkpoint defining the frozen encoder-FID feature space "
+        "(default: this run's first validation checkpoint)",
+    )
     a = p.parse_args()
     overrides = {}
     if a.batch_size:
@@ -319,6 +355,7 @@ def main():
         cfg_overrides=overrides,
         profile_dir=a.profile_dir,
         valid_dataset_spec=a.valid_dataset,
+        fid_feature_weights=a.fid_feature_weights,
     )
 
 

@@ -21,17 +21,64 @@ logger = logging.getLogger(__name__)
 
 MASK_SUFFIX = ".weights_mask"
 METADATA_KEY = "__metadata__"
+DIRECT_MASK_SUFFIX = "_output_D" + MASK_SUFFIX
+
+
+def made_orderings_of(variables):
+    """Recover each MADE net's latent ordering from its direct-input (DIML)
+    mask. The mask is (ordering+1)[:, None] <= ordering[None, :] over a
+    permutation of 0..D-1, so column j has exactly ordering[j] ones --
+    the ordering is the column sum. Returns {made_name: ordering list}."""
+    out = {}
+    for k, v in variables.items():
+        if k.endswith(DIRECT_MASK_SUFFIX):
+            name = k[: -len(DIRECT_MASK_SUFFIX)]
+            out[name] = np.asarray(v).sum(axis=0).astype(np.int64).tolist()
+    return out
+
+
+def restore_made_masks(variables, metadata):
+    """Regenerate MADE masks from the 'made_orderings' stashed in checkpoint
+    metadata (closing the reference's gap: `API.py:33-36` re-derives masks by
+    replaying the hardcoded seed-1234 shuffle protocol, which silently breaks
+    if the checkpoint was trained with a different seed or shuffle count).
+    In-place on `variables`; no-op for checkpoints without the metadata."""
+    orderings = (metadata or {}).get("made_orderings")
+    if not orderings:
+        return variables
+    from npe_tpu.ops.made import made_masks
+
+    for name, ordering in orderings.items():
+        ikey = f"{name}_input{MASK_SUFFIX}"
+        if ikey not in variables:
+            continue
+        hidden = [np.shape(variables[ikey])[1]]
+        while f"{name}_layer_{len(hidden)}{MASK_SUFFIX}" in variables:
+            hidden.append(np.shape(variables[f"{name}_layer_{len(hidden)}{MASK_SUFFIX}"])[1])
+        layer_masks, direct = made_masks(len(ordering), hidden, ordering=ordering)
+        names = [ikey] + [f"{name}_layer_{i}{MASK_SUFFIX}" for i in range(1, len(hidden))]
+        for n, m in zip(names, layer_masks[:-1]):
+            variables[n] = m
+        variables[f"{name}_output_W{MASK_SUFFIX}"] = layer_masks[-1]
+        variables[f"{name}{DIRECT_MASK_SUFFIX}"] = direct
+    return variables
 
 
 def save_weights(fname, variables, metadata=None, include_masks=False):
     """Name-keyed save. MADE masks are excluded by default -- like the
     reference (they are non-trainable and regenerated deterministically at
-    load, `API.py:33-36`)."""
+    load, `API.py:33-36`) -- but each MADE ordering rides in the metadata so
+    `load_weights` can regenerate the exact masks regardless of the mask
+    seed the loading process would use."""
     arrays = {
         k: np.asarray(v)
         for k, v in variables.items()
         if include_masks or not k.endswith(MASK_SUFFIX)
     }
+    orderings = made_orderings_of(variables)
+    if orderings:
+        metadata = dict(metadata or {})
+        metadata.setdefault("made_orderings", orderings)
     if metadata is not None:
         arrays[METADATA_KEY] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
     tmp = fname + ".tmp.npz"
@@ -43,15 +90,18 @@ def save_weights(fname, variables, metadata=None, include_masks=False):
 def load_weights(fname, variables):
     """In-place name-matched restore into `variables` (a dict). Returns the
     metadata dict ({} if none). Shape mismatches and missing names warn and
-    skip, matching `GANcheckpoints.py:42-52`."""
+    skip, matching `GANcheckpoints.py:42-52`. MADE masks absent from the
+    checkpoint are regenerated from the metadata's 'made_orderings' (falling
+    back to whatever masks `variables` already carries from init)."""
     metadata = {}
     with np.load(fname, allow_pickle=False) as f:
         stored = {k: f[k] for k in f.files}
     if METADATA_KEY in stored:
         metadata = pickle.loads(stored.pop(METADATA_KEY).tobytes())
+    restore_made_masks(variables, metadata)
     for name in variables:
         if name.endswith(MASK_SUFFIX) and name not in stored:
-            continue  # regenerated at init
+            continue  # regenerated above / at init
         if name not in stored:
             logger.warning("checkpoint %s missing param %s; skipping", fname, name)
             continue

@@ -77,3 +77,31 @@ def test_metrics_logger(tmp_path):
     assert len(recs) == 2
     assert recs[1]["epoch"] == 1
     assert "_stamp" in recs[0]
+
+
+def test_made_ordering_rides_in_metadata(tmp_path):
+    """Weights-only round-trip with a NON-default mask seed: the checkpoint's
+    metadata carries each MADE ordering, so a loader whose init used the
+    default seed still reconstructs the exact trained masks (closing the
+    reference's hardcoded-seed assumption, `API.py:33-36`)."""
+    import jax
+
+    from npe_tpu.ops.made import made_init
+
+    f = str(tmp_path / "w.npz")
+    # ordering from seed 777 differs from the default 1234
+    v = made_init(jax.random.PRNGKey(0), "l_IAF_mu", 12, [12], seed=777, n_shuffles=3)
+    default = made_init(jax.random.PRNGKey(0), "l_IAF_mu", 12, [12])
+    mask_keys = [k for k in v if k.endswith(".weights_mask")]
+    assert any(not np.array_equal(v[k], default[k]) for k in mask_keys)
+
+    save_weights(f, v, metadata={"epoch": 3})
+    # the loading process inits with the DEFAULT protocol
+    v2 = made_init(jax.random.PRNGKey(1), "l_IAF_mu", 12, [12])
+    meta = load_weights(f, v2)
+    assert meta["epoch"] == 3
+    assert "made_orderings" in meta
+    for k in mask_keys:
+        np.testing.assert_array_equal(v2[k], v[k]), k
+    # weights restored too
+    np.testing.assert_array_equal(v2["l_IAF_mu_input.W"], v["l_IAF_mu_input.W"])

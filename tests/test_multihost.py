@@ -57,14 +57,34 @@ def _run_workers(port):
     return [p.returncode for p in procs], outs
 
 
+# Coordination/gloo setup between two processes sharing one CPU core is
+# timing-sensitive; ONLY these signatures in the worker output identify an
+# infrastructure (not correctness) failure and justify one retry.
+_INFRA_SIGNATURES = (
+    "DEADLINE_EXCEEDED",
+    "GetKeyValue",
+    "KeyValueGet",
+    "barrier timed out",
+    "Barrier timed out",
+    "timed out waiting",
+    "connection refused",
+    "Connection refused",
+)
+
+
 def test_two_process_dp_matches_single_process():
     rcs, outs = _run_workers(_free_port())
     if any(rcs):
-        # Coordination/gloo setup between two processes sharing one CPU core
-        # is timing-sensitive (KV-store and barrier deadlines); retry ONCE on
-        # an infrastructure failure. A numerics mismatch (below) never
-        # retries.
+        # Retry ONCE, and only on a recognized coordination/gloo-setup
+        # signature -- a genuine crash (e.g. a collective SIGABRT) must fail
+        # immediately rather than pass on a lucky second attempt. A numerics
+        # mismatch (below) never retries either way.
         print(f"first attempt rcs={rcs}\n--- worker0:\n{outs[0][-3000:]}\n--- worker1:\n{outs[1][-3000:]}")
+        infra = any(sig in out for out in outs for sig in _INFRA_SIGNATURES)
+        assert infra, (
+            f"non-infrastructure worker failure (no retry): rcs={rcs}\n"
+            f"worker0:\n{outs[0][-3000:]}\nworker1:\n{outs[1][-3000:]}"
+        )
         rcs, outs = _run_workers(_free_port())
     assert rcs == [0, 0], f"worker0:\n{outs[0][-3000:]}\nworker1:\n{outs[1][-3000:]}"
     line = next(l for l in outs[0].splitlines() if l.startswith("MULTIHOST_METRICS "))

@@ -200,3 +200,34 @@ def test_rgb_beta_head_hybrid_matches_plain():
     g_ref = jax.grad(lambda h: jnp.sum(m.rgb_beta_head(v, h, mode="packed") ** 2))(h)
     g_hyb = jax.grad(lambda h: jnp.sum(m.rgb_beta_head(v, h, mode="hybrid") ** 2))(h)
     np.testing.assert_allclose(np.asarray(g_hyb), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_mdblock_fused_dispatch_path(monkeypatch):
+    """Force the fused gate on (MDBLOCK_FUSED='force' -> interpret mode on
+    CPU) so the IN-SITU dispatch inside models/common.mdblock -- the
+    _stacked_mdcl_taps stacking and _bn_affine assembly the direct-call test
+    above bypasses -- is exercised and equals the per-op XLA path."""
+    import jax
+
+    from npe_tpu.models import common
+    from npe_tpu.models.common import LRELU, VarBuilder, mdblock
+
+    scales = [0, 2]
+    c = 8
+    vb = VarBuilder(jax.random.PRNGKey(3))
+    vb.mdcl("blk", c, c, scales)
+    vb.mdcl("blk2", c, c, scales)
+    for i in range(3):
+        vb.bn(f"blkbnorm{i}", c)
+    v = vb.v
+    for i in range(3):
+        v[f"blkbnorm{i}.mean"] = jnp.linspace(-0.2, 0.3, c)
+        v[f"blkbnorm{i}.inv_std"] = jnp.linspace(0.8, 1.3, c)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, c)) * 0.5
+
+    ref = mdblock(v, None, "blk", x, scales, LRELU, train=False)
+    assert not common._mdblock_fused_enabled()  # CPU default: off
+    monkeypatch.setattr(common, "MDBLOCK_FUSED", "force")
+    assert common._mdblock_fused_enabled()
+    fused = mdblock(v, None, "blk", x, scales, LRELU, train=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5)

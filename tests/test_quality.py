@@ -68,3 +68,38 @@ def test_encoder_fid_smoke():
     fg = batched_features(m, v, gen, batch_size=16)
     d_real_gen = frechet_distance(*feature_stats(fa), *feature_stats(fg))
     assert d_real_gen > d_real_real
+
+
+def test_encoder_fid_frozen_feature_space():
+    """With `feature_variables` fixed, the metric is invariant to changes in
+    the *sampled* model's encoder (incl. BN state) -- only its decoder output
+    matters -- and sensitive to decoder changes."""
+    from npe_tpu.data import get_dataset
+    from npe_tpu.models import get_config
+
+    m = get_config("IAN_simple")
+    ref = m.init(jax.random.PRNGKey(0))
+    ds = get_dataset("synthetic", num_examples=32)
+    chunks = ds.get_data(np.arange(32))
+    real = (2.0 * chunks.astype(np.float32) / 255.0 - 1.0).transpose(0, 2, 3, 1)
+
+    cur = dict(m.init(jax.random.PRNGKey(1)))
+    base = encoder_fid(m, cur, real, num=16, batch_size=16, feature_variables=ref)
+
+    # Perturb ONLY the current model's encoder (conv tower + BN stats):
+    # decode path untouched -> identical samples -> identical metric.
+    enc = {
+        k: np.asarray(v) + 0.5
+        for k, v in cur.items()
+        if k.startswith(("enc_conv", "bnorm2.", "bnorm3.", "bnorm4."))
+        and not k.endswith(".weights_mask")
+    }
+    assert enc
+    perturbed = {**cur, **enc}
+    same = encoder_fid(m, perturbed, real, num=16, batch_size=16, feature_variables=ref)
+    np.testing.assert_allclose(same, base, rtol=1e-6)
+
+    # Perturb the decoder -> samples change -> metric moves.
+    dec = {k: np.asarray(v) * 1.5 for k, v in cur.items() if k.startswith("dec_conv")}
+    moved = encoder_fid(m, {**cur, **dec}, real, num=16, batch_size=16, feature_variables=ref)
+    assert abs(moved - base) > 1e-3
