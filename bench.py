@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: 64x64 encode+decode throughput (imgs/sec/chip) on the
-flagship IAN_simple model -- the BASELINE.md target is >= 5,000 imgs/sec/chip
-on TPU v5e.
+"""Headline benchmark suite. Emits ONE JSON line per headline metric
+(BASELINE.md target table), ending with a summary line that repeats the
+primary metric (IAN_simple encode+decode throughput, target >= 5,000
+imgs/sec/chip on TPU v5e) plus an `extra` map of every other metric -- the
+driver parses the LAST line, so the full table rides in one artifact.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics:
+  ian_simple_encode_decode_throughput   (primary; bf16 inference path)
+  ian_encode_decode_throughput          (full IAN: MDBLOCKs, IAF, RGB-Beta)
+  ianv1_encode_decode_throughput
+  edit_propagation_step_latency         (bench_edit; target < 10 ms p50)
+  ian_simple_train_step_throughput      (bench_train; G+D alternation)
 
-The hot path runs in bfloat16 (MXU-native) with float32 still used by the
-parity/test paths; one jitted program does encode+decode for the whole batch.
+Usage: python bench.py [--only primary|ian|ianv1|edit|train] [--fast]
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -18,7 +25,7 @@ import jax.numpy as jnp
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def main(batch=256, iters=50, warmup=3, rounds=5, dtype=jnp.bfloat16, model="IAN_simple"):
+def run_throughput(model="IAN_simple", batch=256, iters=50, warmup=3, rounds=5, dtype=jnp.bfloat16):
     from npe_tpu.models import get_config
     from npe_tpu.utils.cast import cast_floating
 
@@ -57,26 +64,70 @@ def main(batch=256, iters=50, warmup=3, rounds=5, dtype=jnp.bfloat16, model="IAN
     spread = (times[-1] - times[0]) / dt
 
     imgs_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{model.lower()}_encode_decode_throughput",
-                "value": round(imgs_per_sec, 1),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-                "p50_round_ms": round(dt * 1000, 2),
-                "spread_frac": round(spread, 3),
-                "rounds": rounds,
-            }
-        )
-    )
+    return {
+        "metric": f"{model.lower()}_encode_decode_throughput",
+        "value": round(imgs_per_sec, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "p50_round_ms": round(dt * 1000, 2),
+        "spread_frac": round(spread, 3),
+        "rounds": rounds,
+    }
 
 
-if __name__ == "__main__":
+def _emit(d):
+    print(json.dumps(d), flush=True)
+    return d
+
+
+def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--model", default="IAN_simple")
+    p.add_argument("--only", default=None, choices=["primary", "ian", "ianv1", "edit", "train"])
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--fast", action="store_true", help="fewer rounds for the secondary metrics")
     a = p.parse_args()
-    main(batch=a.batch, model=a.model)
+
+    if a.only:
+        if a.only == "primary":
+            _emit(run_throughput("IAN_simple", batch=a.batch))
+        elif a.only == "ian":
+            _emit(run_throughput("IAN", batch=a.batch))
+        elif a.only == "ianv1":
+            _emit(run_throughput("IANv1", batch=a.batch))
+        elif a.only == "edit":
+            import bench_edit
+
+            _emit(bench_edit.run())
+        else:
+            import bench_train
+
+            _emit(bench_train.run(model="IAN_simple", batch=128))
+        return
+
+    primary = _emit(run_throughput("IAN_simple", batch=a.batch))
+    extra = {}
+    rounds = 3 if a.fast else 5
+
+    def grab(fn, *args, **kw):
+        # One failing secondary metric must not sink the suite.
+        try:
+            d = _emit(fn(*args, **kw))
+            extra[d["metric"]] = d["value"]
+        except Exception as e:  # pragma: no cover - defensive
+            print(json.dumps({"metric_error": f"{fn.__name__}: {e}"}), file=sys.stderr, flush=True)
+
+    grab(run_throughput, "IAN", batch=a.batch, rounds=rounds)
+    grab(run_throughput, "IANv1", batch=a.batch, rounds=rounds)
+    import bench_edit
+    import bench_train
+
+    grab(bench_edit.run)
+    grab(bench_train.run, model="IAN_simple", batch=128, pairs=10, rounds=rounds)
+
+    _emit({**primary, "extra": extra})
+
+
+if __name__ == "__main__":
+    main()

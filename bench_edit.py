@@ -20,7 +20,7 @@ import numpy as np
 BASELINE_MS = 10.0
 
 
-def main(iters=100, warmup=2):
+def run(iters=100, warmup=2):
     from npe_tpu.api import patch_mask
     from npe_tpu.models import get_config
     from npe_tpu.ops.pallas.editor_kernels import blur_matrix, edit_tail_reference
@@ -79,16 +79,16 @@ def main(iters=100, warmup=2):
         im.block_until_ready()
         rounds.append((time.perf_counter() - t0) / iters * 1000.0)
     ms = float(np.median(rounds))  # p50 over rounds
-    print(
-        json.dumps(
-            {
-                "metric": "edit_propagation_step_latency",
-                "value": round(ms, 3),
-                "unit": "ms/step (on-device)",
-                "vs_baseline": round(BASELINE_MS / ms, 3),
-            }
-        )
-    )
+    return {
+        "metric": "edit_propagation_step_latency",
+        "value": round(ms, 3),
+        "unit": "ms/step (on-device)",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+    }
+
+
+def main(iters=100, warmup=2):
+    print(json.dumps(run(iters=iters, warmup=warmup)))
 
 
 if __name__ == "__main__":

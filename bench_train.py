@@ -21,20 +21,15 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", default="IAN_simple")
-    p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--pairs", type=int, default=15, help="G+D step pairs per round")
-    p.add_argument("--rounds", type=int, default=5)
-    a = p.parse_args()
-
+def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None):
     from npe_tpu.models import get_config
     from npe_tpu.training import train_step as TS
 
-    module = get_config(a.model)
+    module = get_config(model)
     cfg = dict(module.cfg)
-    cfg["batch_size"] = a.batch
+    cfg["batch_size"] = batch
+    if compute_dtype:
+        cfg["compute_dtype"] = compute_dtype
     variables = module.init(jax.random.PRNGKey(0))
     state = TS.init_train_state(module, variables, cfg)
     # Un-donated step closures; they trace-inline into the scanned program
@@ -50,17 +45,17 @@ def main():
             state, m = discrim_step(state, x, z, jax.random.fold_in(k, 1), lr)
             return state, m["pixel_loss"]
 
-        state, pl = jax.lax.scan(body, state, jnp.arange(a.pairs))
+        state, pl = jax.lax.scan(body, state, jnp.arange(pairs))
         return state, jnp.sum(pl)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (a.batch, 64, 64, 3), jnp.float32) * 0.5
-    z = jax.random.normal(jax.random.PRNGKey(2), (a.batch, cfg["num_latents"]))
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg["num_latents"]))
 
     state, s = chained(state, x, z, jax.random.PRNGKey(10))
     checksum = float(s)  # warmup + compile
 
     times = []
-    for r in range(a.rounds):
+    for r in range(rounds):
         t0 = time.perf_counter()
         state, s = chained(state, x, z, jax.random.PRNGKey(100 + r))
         checksum = float(s)
@@ -69,20 +64,42 @@ def main():
     times.sort()
     dt = times[len(times) // 2]
 
-    n_steps = 2 * a.pairs
-    imgs_per_sec = a.batch * n_steps / dt
+    n_steps = 2 * pairs
+    imgs_per_sec = batch * n_steps / dt
+    return {
+        "metric": f"{model.lower()}_train_step_throughput",
+        "value": round(imgs_per_sec, 1),
+        "unit": "imgs/sec/chip",
+        "compute_dtype": compute_dtype or "float32",
+        "batch": batch,
+        "ms_per_step": round(dt / n_steps * 1e3, 3),
+        "spread_frac": round((times[-1] - times[0]) / dt, 3),
+        "round_times_s": [round(t, 3) for t in times],
+        "rounds": rounds,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="IAN_simple")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--pairs", type=int, default=15, help="G+D step pairs per round")
+    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument(
+        "--compute-dtype",
+        default=None,
+        help="mixed-precision compute dtype (e.g. bfloat16); master weights stay f32",
+    )
+    a = p.parse_args()
     print(
         json.dumps(
-            {
-                "metric": f"{a.model.lower()}_train_step_throughput",
-                "value": round(imgs_per_sec, 1),
-                "unit": "imgs/sec/chip",
-                "batch": a.batch,
-                "ms_per_step": round(dt / n_steps * 1e3, 3),
-                "spread_frac": round((times[-1] - times[0]) / dt, 3),
-                "round_times_s": [round(t, 3) for t in times],
-                "rounds": a.rounds,
-            }
+            run(
+                model=a.model,
+                batch=a.batch,
+                pairs=a.pairs,
+                rounds=a.rounds,
+                compute_dtype=a.compute_dtype,
+            )
         )
     )
 

@@ -36,10 +36,18 @@ def batch_norm_apply(x, beta, gamma, mean, inv_std, train):
     """
     if train:
         axes = _reduce_axes(x)
-        mu = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        # Mixed precision: when activations are lower-precision than the
+        # running stats (bf16 forward, f32 state), batch statistics and the
+        # normalization itself run in the stats dtype -- the variance
+        # reduction is the one BN op that loses real accuracy in bf16. The
+        # casts are elementwise and fuse into the surrounding ops; the
+        # output returns in the activation dtype. Dtype-uniform calls
+        # (all-f32 training, all-bf16 inference) are unchanged.
+        xs = x.astype(mean.dtype) if x.dtype != mean.dtype else x
+        mu = jnp.mean(xs, axis=axes)
+        var = jnp.var(xs, axis=axes)
         istd = jax.lax.rsqrt(var + EPS)
-        y = (x - mu) * (gamma * istd) + beta
+        y = ((xs - mu) * (gamma.astype(mu.dtype) * istd) + beta.astype(mu.dtype)).astype(x.dtype)
         new_mean = (1 - ALPHA) * mean + ALPHA * mu
         new_inv_std = (1 - ALPHA) * inv_std + ALPHA * istd
         return y, (new_mean, new_inv_std)

@@ -19,6 +19,37 @@ import jax.numpy as jnp
 from npe_tpu.training import losses as L
 
 
+def _f32_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree
+    )
+
+
+def to_compute(variables, x, z_rand, cfg):
+    """Mixed-precision entry: with cfg['compute_dtype'] set (e.g. 'bfloat16'),
+    cast trainable params and the batch to the compute dtype for the
+    forward/backward while the MASTER copies stay float32 -- gradients flow
+    back through the casts as float32 (the astype VJP casts the cotangent to
+    the primal dtype), so the Adam update is full-precision. Non-trainable
+    state (BN running mean/inv_std, masks) stays f32: batch_norm_apply
+    computes its statistics in the stats dtype (ops/norm.py).
+
+    Replaces the reference's f32-only Theano hot loop
+    (`train_IAN.py:283-325`) with the MXU-native regime."""
+    cd = cfg.get("compute_dtype")
+    if not cd:
+        return variables, x, z_rand
+    from npe_tpu.models.common import is_trainable
+
+    dt = jnp.dtype(cd)
+    cast = {
+        k: v.astype(dt)
+        for k, v in variables.items()
+        if is_trainable(k) and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+    }
+    return {**variables, **cast}, x.astype(dt), z_rand.astype(dt)
+
+
 def forward_all(module, variables, x, z_rand, rng, upd=None):
     """Full three-pass training forward. x: (B, 64, 64, 3) in [-1, 1]."""
     mu, ls, g_x = module.encode_stats(variables, x, train=True, upd=upd)
@@ -79,8 +110,10 @@ def gen_loss_fn(gen_latent_params, other, module, cfg, x, z_rand, rng):
     latent heads; ortho_gen touches only 4-D decoder weights), so one scalar
     serves both."""
     variables = {**other, **gen_latent_params}
+    variables, xc, zc = to_compute(variables, x, z_rand, cfg)
     upd = {}
-    out = forward_all(module, variables, x, z_rand, rng, upd=upd)
+    # Forward/backward in the compute dtype; losses and metrics in f32.
+    out = _f32_tree(forward_all(module, variables, xc, zc, rng, upd=upd))
     adv = L.adversarial_losses(out["p_x"], out["p_x_hat"], out["p_x_gen"], module.N_DISCRIM_CLASSES)
     total = (
         cfg["agr_weight"] * adv["gen_recon_loss"]
@@ -94,30 +127,33 @@ def gen_loss_fn(gen_latent_params, other, module, cfg, x, z_rand, rng):
         total = total + cfg["ortho"] * L.ortho_penalty(
             {k: v for k, v in gen_latent_params.items() if L.partition_of(k) == "gen"}
         )
-    return total, (out, upd)
+    return total, (out, _f32_tree(upd))
 
 
 def discrim_loss_fn(discrim_params, other, module, cfg, x, z_rand, rng):
     """Discriminator objective with consider_constant=[X_hat]
     (`train_IAN.py:253`): gradients do not flow into the generator."""
     variables = {**other, **discrim_params}
+    variables, xc, zc = to_compute(variables, x, z_rand, cfg)
     upd = {}
-    out = forward_all(module, variables, x, z_rand, rng, upd=upd)
-    x_hat = jax.lax.stop_gradient(out["x_hat"])
+    out_raw = forward_all(module, variables, xc, zc, rng, upd=upd)
+    x_hat = jax.lax.stop_gradient(out_raw["x_hat"])  # compute dtype
     g_xh = module.backbone(variables, x_hat, True, None)
-    p_x_hat = module.discrim_logits(variables, g_xh[-1])
+    p_x_hat = module.discrim_logits(variables, g_xh[-1]).astype(jnp.float32)
+    out = _f32_tree(out_raw)
     adv = L.adversarial_losses(out["p_x"], p_x_hat, out["p_x_gen"], module.N_DISCRIM_CLASSES)
     total = cfg["dg_weight"] * adv["discrim_g_loss"] + cfg["dd_weight"] * adv["discrim_d_loss"]
     if cfg.get("ortho"):
         total = total + cfg["ortho"] * L.ortho_penalty(discrim_params)
-    return total, (out, upd)
+    return total, (out, _f32_tree(upd))
 
 
 def latent_loss_fn(latent_params, other, module, cfg, x, z_rand, rng):
     """Z_gen_updates objective alone (`train_IAN.py:266-273`), used on
     discriminator steps where the latent heads still train."""
     variables = {**other, **latent_params}
-    out = forward_all(module, variables, x, z_rand, rng)
+    variables, xc, zc = to_compute(variables, x, z_rand, cfg)
+    out = _f32_tree(forward_all(module, variables, xc, zc, rng))
     adv = L.adversarial_losses(out["p_x"], out["p_x_hat"], out["p_x_gen"], module.N_DISCRIM_CLASSES)
     total = (
         cfg["feature_weight"] * L.feature_matching(out["g_x"], out["g_xh"])

@@ -32,7 +32,7 @@ from npe_tpu.models import get_config
 from npe_tpu.ops.pallas.staging import stage_chunk
 from npe_tpu.training import train_step as TS
 from npe_tpu.training.eval_grids import sample_and_interp_grid
-from npe_tpu.utils import checkpoints
+from npe_tpu.utils import checkpoints, fetch
 from npe_tpu.utils.metrics_logging import MetricsLogger
 
 GEN_KEYS = ["gen_recon_loss", "gen_sample_loss", "pixel_loss", "feature_loss", "pixel_acc"]
@@ -79,6 +79,7 @@ def train(
     valid_dataset_spec=None,
     num_valid_examples=1024,
     fid_feature_weights=None,
+    state_every=1,
 ):
     module = get_config(config)
     cfg = dict(module.cfg)
@@ -99,14 +100,31 @@ def train(
 
     variables = module.init(jax.random.PRNGKey(seed))
     state = TS.init_train_state(module, variables, cfg)
-    gen_step, discrim_step = TS.make_train_steps(module, cfg)
+    # The faithful alternation runs as ONE jitted program per chunk
+    # (TS.make_chunk_step: scan over batches, on-device z_rand + metric
+    # averaging) -- per-batch host dispatch through the axon tunnel measured
+    # 237 ms/step vs the same step's 19.6 ms inside a scan. The per-step
+    # host loop remains for the adaptive-ratio deviation, whose control flow
+    # is data-dependent on the host.
+    adaptive_acc = cfg.get("adaptive_ratio_acc")
+    if adaptive_acc is None:
+        chunk_step = TS.make_chunk_step(module, cfg, cfg["batches_per_chunk"])
+        gen_step = discrim_step = None
+    else:
+        chunk_step = None
+        gen_step, discrim_step = TS.make_train_steps(module, cfg)
 
     itr = 0
     min_epoch = 0
     lr = float(cfg["learning_rate"][0] if isinstance(cfg["learning_rate"], dict) else cfg["learning_rate"])
     if resume and os.path.isfile(state_fname):
         state = restore_masks(checkpoints.load_train_state(state_fname), state)
-        meta = checkpoints.load_weights(weights_fname, {}) if os.path.isfile(weights_fname) else {}
+        # Prefer the state file's own metadata: with state_every>1 the
+        # weights file can be NEWER than the opt state, and epoch/lr must
+        # stay consistent with the params+moments actually restored.
+        meta = checkpoints.train_state_metadata(state_fname)
+        if not meta and os.path.isfile(weights_fname):
+            meta = checkpoints.load_weights(weights_fname, {})
         min_epoch = int(meta.get("epoch", -1)) + 1
         itr = int(meta.get("itr", 0))
         lr = float(meta.get("learning_rate", lr))
@@ -132,6 +150,22 @@ def train(
         dataset = get_dataset("synthetic", num_examples=num_examples)  # for grids
     else:
         dataset = get_dataset(dataset_spec, num_examples=num_examples)
+    # Device-resident dataset cache: when the whole uint8 dataset fits the
+    # budget, ship it to HBM ONCE and gather each chunk's batch on-chip --
+    # per-chunk index vectors (32 KB) replace the 100 MB uint8 ship, which
+    # measured ~3.5 s/chunk over the axon tunnel vs ~1.2 s of step compute.
+    # (The reference staged per-chunk onto GPU shared vars,
+    # `train_IAN.py:478-484`; a TPU's HBM holds the whole CelebA-scale
+    # dataset.) Disabled under a mesh: a replicated cache would defeat
+    # sharded data loading.
+    device_cache = None
+    if native is None and mesh is None:
+        cache_budget = int(os.environ.get("NPE_DEVICE_CACHE_BYTES", 2 << 30))
+        n_ex = dataset.num_examples
+        if n_ex * 3 * 64 * 64 <= cache_budget:
+            device_cache = jax.device_put(
+                np.uint8(dataset.get_data(np.arange(n_ex)))
+            )
     valid_dataset = (
         get_dataset(valid_dataset_spec, num_examples=num_valid_examples)
         if valid_dataset_spec
@@ -143,8 +177,8 @@ def train(
     # `adaptive_ratio_acc`, its updates are skipped (the step trains G
     # instead) until accuracy drops back -- the standard guard against D
     # saturation. Off (None) by default = faithful alternation.
-    adaptive_acc = cfg.get("adaptive_ratio_acc")
     d_acc_ema = 0.5
+    checkpoint_count = 0
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
     # Frozen feature space for encoder-FID: a passed checkpoint, else the
@@ -170,6 +204,16 @@ def train(
                 loader=native,
                 raw=True,
             )
+        elif device_cache is not None:
+            from npe_tpu.data.datasets import index_loader
+
+            loader = index_loader(
+                cfg,
+                dataset.num_examples,
+                offset=offset * cfg["batch_size"] // 2,
+                shuffle=cfg["shuffle"],
+                seed=epoch,
+            )
         else:
             loader = data_loader(
                 cfg,
@@ -185,12 +229,16 @@ def train(
             iter_counter += 1
             num_batches = len(x_chunk) // cfg["batch_size"]
             perm = np.random.permutation(len(x_chunk))
-            # Chunks arrive as raw uint8 NCHW; the host ships the bytes
-            # as-is (4x less host->device traffic than float32) and ONE
-            # jitted program does gather + cast + to_tanh + NHWC transpose
-            # on-chip (reference kept chunks device-resident the same way,
+            # Chunks arrive as raw uint8 NCHW (or as index vectors into the
+            # device-resident cache); the host ships the bytes as-is (4x
+            # less host->device traffic than float32) and ONE jitted program
+            # does gather + cast + to_tanh + NHWC transpose on-chip
+            # (reference kept chunks device-resident the same way,
             # train_IAN.py:478-484).
-            if mesh is not None:
+            if device_cache is not None:
+                idx = jnp.asarray(np.asarray(x_chunk)[perm], jnp.int32)
+                x_dev = stage_chunk(device_cache, idx)
+            elif mesh is not None:
                 from npe_tpu.parallel.mesh import shard_batch
 
                 # permute the uint8 bytes on host so the on-device gather
@@ -204,25 +252,49 @@ def train(
             if profile_dir and epoch == min_epoch and iter_counter == 1:
                 jax.profiler.start_trace(profile_dir)
 
-            metrics = OrderedDict((k, []) for k in GEN_KEYS + DISCRIM_KEYS)
-            for bi in range(num_batches):
-                xb = jax.lax.dynamic_slice_in_dim(x_dev, bi * cfg["batch_size"], cfg["batch_size"])
-                rng, kz, ks = jax.random.split(rng, 3)
-                z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
-                do_gen = itr % (update_ratio + 1) == 0
-                if adaptive_acc is not None and not do_gen and d_acc_ema > adaptive_acc:
-                    do_gen = True
-                if do_gen:
-                    state, m = gen_step(state, xb, z_rand, ks, lr)
-                    for k in GEN_KEYS:
-                        metrics[k].append(m[k])
-                else:
-                    state, m = discrim_step(state, xb, z_rand, ks, lr)
-                    for k in DISCRIM_KEYS:
-                        metrics[k].append(m[k])
-                    if adaptive_acc is not None:
+            if chunk_step is not None:
+                assert num_batches == cfg["batches_per_chunk"], (
+                    num_batches,
+                    cfg["batches_per_chunk"],
+                )  # the chunk program is compiled for full chunks
+                state, rng, gen_m, dis_m, n_gen = chunk_step(state, x_dev, itr, rng, lr)
+                # one packed fetch for the ~17 scalar metrics (vs one
+                # high-latency RPC each)
+                gen_m, dis_m, n_gen = fetch.packed_device_get((gen_m, dis_m, n_gen))
+                n_gen = float(n_gen)
+                n_dis = num_batches - n_gen
+                metrics = OrderedDict()
+                for k in list(dict.fromkeys(GEN_KEYS + DISCRIM_KEYS)):
+                    if k in GEN_KEYS and k in DISCRIM_KEYS:
+                        metrics[k] = [
+                            (float(gen_m[k]) * n_gen + float(dis_m[k]) * n_dis) / num_batches
+                        ]
+                    elif k in GEN_KEYS:
+                        metrics[k] = [float(gen_m[k])] if n_gen else []
+                    else:
+                        metrics[k] = [float(dis_m[k])] if n_dis else []
+                itr += num_batches
+            else:
+                metrics = OrderedDict((k, []) for k in GEN_KEYS + DISCRIM_KEYS)
+                for bi in range(num_batches):
+                    xb = jax.lax.dynamic_slice_in_dim(
+                        x_dev, bi * cfg["batch_size"], cfg["batch_size"]
+                    )
+                    rng, kz, ks = jax.random.split(rng, 3)
+                    z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
+                    do_gen = itr % (update_ratio + 1) == 0
+                    if not do_gen and d_acc_ema > adaptive_acc:
+                        do_gen = True
+                    if do_gen:
+                        state, m = gen_step(state, xb, z_rand, ks, lr)
+                        for k in GEN_KEYS:
+                            metrics[k].append(m[k])
+                    else:
+                        state, m = discrim_step(state, xb, z_rand, ks, lr)
+                        for k in DISCRIM_KEYS:
+                            metrics[k].append(m[k])
                         d_acc_ema = 0.9 * d_acc_ema + 0.1 * float(m["discrim_acc"])
-                itr += 1
+                    itr += 1
 
             if profile_dir and epoch == min_epoch and iter_counter == 1:
                 jax.profiler.stop_trace()
@@ -240,6 +312,7 @@ def train(
             mlog.log(epoch=epoch, itr=itr, metrics=metrics)
 
         if not (epoch % cfg["checkpoint_every_nth"]) or epoch == cfg["max_epochs"] - 1:
+            checkpoint_count += 1
             variables = TS.variables_of(state)
             if checkpoint_grids:
                 os.makedirs(pics_dir, exist_ok=True)
@@ -251,8 +324,21 @@ def train(
                     seed=epoch * 42 + 5,
                 )
             meta = {"epoch": epoch, "itr": itr, "ts": time.time(), "learning_rate": lr}
-            checkpoints.save_weights(weights_fname, variables, meta)
-            checkpoints.save_train_state(state_fname, jax.device_get(state))
+            # Full opt-state saves are ~3x the weights; over a slow
+            # host<->device link the per-leaf device_get dominates the
+            # checkpoint, so (a) fetches are PACKED (one transfer per dtype,
+            # utils/fetch.py) and (b) state_every>1 throttles the state save
+            # (weights still save every checkpoint, like the reference's
+            # per-epoch npz, `train_IAN.py:567-571`). Metadata rides in the
+            # state file so a resume stays epoch-consistent with the moments.
+            if (checkpoint_count - 1) % state_every == 0 or epoch == cfg["max_epochs"] - 1:
+                host_state = fetch.packed_device_get(state)
+                checkpoints.save_weights(weights_fname, TS.variables_of(host_state), meta)
+                checkpoints.save_train_state(state_fname, host_state, metadata=meta)
+            else:
+                checkpoints.save_weights(
+                    weights_fname, fetch.packed_device_get(variables), meta
+                )
             if valid_dataset is not None:
                 from npe_tpu.training.evaluate import validation_pixel_accuracy
                 from npe_tpu.training.quality import encoder_fid
@@ -323,6 +409,19 @@ def main():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--batches-per-chunk", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument(
+        "--compute-dtype",
+        default=None,
+        help="mixed-precision compute dtype for the train step (e.g. bfloat16); "
+        "master weights and optimizer stay float32",
+    )
+    p.add_argument(
+        "--state-every",
+        type=int,
+        default=1,
+        help="save the full optimizer state every Nth checkpoint (weights "
+        "still save every checkpoint); resume restores from the last state save",
+    )
     p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first chunk")
     p.add_argument(
         "--fid-feature-weights",
@@ -338,6 +437,8 @@ def main():
         overrides["batches_per_chunk"] = a.batches_per_chunk
     if a.checkpoint_every:
         overrides["checkpoint_every_nth"] = a.checkpoint_every
+    if a.compute_dtype:
+        overrides["compute_dtype"] = a.compute_dtype
     mesh = None
     if a.data_parallel:
         from npe_tpu.parallel.mesh import make_mesh
@@ -356,6 +457,7 @@ def main():
         profile_dir=a.profile_dir,
         valid_dataset_spec=a.valid_dataset,
         fid_feature_weights=a.fid_feature_weights,
+        state_every=a.state_every,
     )
 
 

@@ -123,5 +123,55 @@ def make_train_steps(module, cfg, donate=True):
     )
 
 
+def make_chunk_step(module, cfg, num_batches, donate=True):
+    """ONE jitted program that runs a whole chunk: `lax.scan` over the
+    chunk's batches, alternating G/D by `(itr0 + i) % (update_ratio + 1)`
+    exactly like the host loop (reference `train_IAN.py:493-509`), with
+    z_rand drawn and metrics averaged on-device.
+
+    Rationale: the per-batch host loop costs 4-6 device dispatches per step;
+    through the axon tunnel (~29 ms RPC) that measured 237 ms/step against
+    the 19.6 ms the same step achieves inside a scan (round-2 real-run
+    metrics vs bench_train.py). One chunk = one dispatch + one small fetch.
+
+    Signature: chunk_step(state, x_chunk, itr0, rng, lr) ->
+        (state, rng_out, gen_metrics, discrim_metrics, gen_count)
+    where x_chunk is (num_batches * batch_size, 64, 64, 3) staged data and
+    the metric dicts are already averaged over this chunk's G / D steps.
+    The per-batch RNG derivation (split-chain) is IDENTICAL to the host
+    loop's, so a chunk program reproduces the per-step path bit-for-bit."""
+    gen_step, discrim_step = make_train_steps(module, cfg, donate=False)
+    period = cfg["update_ratio"] + 1
+    bs = cfg["batch_size"]
+    zdim = cfg["num_latents"]
+
+    def chunk_step(state, x_chunk, itr0, rng, lr):
+        def body(carry, i):
+            state, rng = carry
+            xb = jax.lax.dynamic_slice_in_dim(x_chunk, i * bs, bs)
+            rng, kz, ks = jax.random.split(rng, 3)
+            z_rand = jax.random.normal(kz, (bs, zdim))
+            is_gen = ((itr0 + i) % period) == 0
+            state, m = jax.lax.cond(
+                is_gen,
+                lambda st: gen_step(st, xb, z_rand, ks, lr),
+                lambda st: discrim_step(st, xb, z_rand, ks, lr),
+                state,
+            )
+            return (state, rng), (m, is_gen)
+
+        (state, rng), (ms, is_gen) = jax.lax.scan(body, (state, rng), jnp.arange(num_batches))
+        gen_w = is_gen.astype(jnp.float32)
+        dis_w = 1.0 - gen_w
+        n_gen = jnp.sum(gen_w)
+        n_dis = jnp.sum(dis_w)
+        gen_m = {k: jnp.sum(v * gen_w) / jnp.maximum(n_gen, 1) for k, v in ms.items()}
+        dis_m = {k: jnp.sum(v * dis_w) / jnp.maximum(n_dis, 1) for k, v in ms.items()}
+        return state, rng, gen_m, dis_m, n_gen
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(chunk_step, donate_argnums=donate_args)
+
+
 def variables_of(state):
     return L.merge_partitions(state["parts"])

@@ -64,12 +64,17 @@ def restore_made_masks(variables, metadata):
     return variables
 
 
-def save_weights(fname, variables, metadata=None, include_masks=False):
+def save_weights(fname, variables, metadata=None, include_masks=False, compress=False):
     """Name-keyed save. MADE masks are excluded by default -- like the
     reference (they are non-trainable and regenerated deterministically at
     load, `API.py:33-36`) -- but each MADE ordering rides in the metadata so
     `load_weights` can regenerate the exact masks regardless of the mask
-    seed the loading process would use."""
+    seed the loading process would use.
+
+    compress=False by default: zlib on ~200 MB of float noise costs over a
+    minute per checkpoint on a small host for a few-percent size win (the
+    reference used savez_compressed, `GANcheckpoints.py:24`; np.load reads
+    both, so the on-disk ABI is unchanged)."""
     arrays = {
         k: np.asarray(v)
         for k, v in variables.items()
@@ -83,7 +88,7 @@ def save_weights(fname, variables, metadata=None, include_masks=False):
         arrays[METADATA_KEY] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
     tmp = fname + ".tmp.npz"
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
+        (np.savez_compressed if compress else np.savez)(f, **arrays)
     os.replace(tmp, fname)
 
 
@@ -128,13 +133,18 @@ def _flatten_pytree(tree):
     return flat, treedef
 
 
-def save_train_state(fname, state):
-    """state: arbitrary pytree (variables, opt_state, rng, step, ...)."""
+def save_train_state(fname, state, metadata=None):
+    """state: arbitrary pytree (variables, opt_state, rng, step, ...).
+    metadata (e.g. {'epoch', 'itr', 'learning_rate'}) rides in the file so a
+    resume restores epoch/lr CONSISTENT with the opt state even when state
+    saves are throttled to every Nth checkpoint (train.py state_every)."""
     import jax
 
     flat, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
     arrays["__treedef__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
+    if metadata is not None:
+        arrays["__metadata__"] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
     tmp = fname + ".tmp.npz"
     with open(tmp, "wb") as f:
         # uncompressed: train states are ~3x the weights (Adam moments) and
@@ -149,9 +159,19 @@ def load_train_state(fname):
 
     with np.load(fname, allow_pickle=False) as f:
         stored = {k: f[k] for k in f.files}
+    stored.pop("__metadata__", None)
     treedef = pickle.loads(stored.pop("__treedef__").tobytes())
     flat = [stored[f"leaf_{i}"] for i in range(len(stored))]
     return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def train_state_metadata(fname):
+    """Read only the metadata member of a train-state npz (cheap: one zip
+    entry, no leaf arrays touched)."""
+    with np.load(fname, allow_pickle=False) as f:
+        if "__metadata__" not in f.files:
+            return {}
+        return pickle.loads(f["__metadata__"].tobytes())
 
 
 # --- orbax backend (optional) --------------------------------------------

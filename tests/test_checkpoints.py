@@ -50,6 +50,22 @@ def test_train_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["vars"]["w"], 1)
 
 
+def test_train_state_metadata_roundtrip(tmp_path):
+    """Metadata rides inside the state npz (resume consistency when state
+    saves are throttled, train.py state_every) and loading ignores it."""
+    from npe_tpu.utils.checkpoints import train_state_metadata
+
+    f = str(tmp_path / "state.npz")
+    state = {"w": np.ones(3)}
+    save_train_state(f, state, metadata={"epoch": 7, "learning_rate": 1e-4})
+    meta = train_state_metadata(f)
+    assert meta["epoch"] == 7 and meta["learning_rate"] == 1e-4
+    np.testing.assert_array_equal(load_train_state(f)["w"], 1)
+    # files without metadata read back as {}
+    save_train_state(f, state)
+    assert train_state_metadata(f) == {}
+
+
 def test_orbax_backend_roundtrip(tmp_path):
     import pytest
 
@@ -105,3 +121,25 @@ def test_made_ordering_rides_in_metadata(tmp_path):
         np.testing.assert_array_equal(v2[k], v[k]), k
     # weights restored too
     np.testing.assert_array_equal(v2["l_IAF_mu_input.W"], v["l_IAF_mu_input.W"])
+
+
+def test_packed_device_get_matches_device_get():
+    """packed_device_get must reproduce jax.device_get exactly across mixed
+    dtypes, shapes, and nesting (it is the checkpoint fetch path)."""
+    import jax
+    import jax.numpy as jnp
+    from npe_tpu.utils.fetch import packed_device_get
+
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) + 0.5,
+        "b": {"w": jnp.ones((3, 1, 2), jnp.float32) * -2, "n": jnp.arange(4, dtype=jnp.int32)},
+        "c": [jnp.zeros((), jnp.float32), jnp.array(7, jnp.int32), jnp.ones(5, jnp.bfloat16)],
+    }
+    want = jax.device_get(tree)
+    got = packed_device_get(tree)
+    flat_w, td_w = jax.tree_util.tree_flatten(want)
+    flat_g, td_g = jax.tree_util.tree_flatten(got)
+    assert td_w == td_g
+    for w, g in zip(flat_w, flat_g):
+        assert w.dtype == g.dtype and w.shape == g.shape
+        np.testing.assert_array_equal(np.asarray(w, np.float32), np.asarray(g, np.float32))

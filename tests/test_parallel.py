@@ -80,6 +80,81 @@ def test_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(w_a, w_b, rtol=1e-2, atol=2 * 2e-4 + 1e-6)
 
 
+def test_ian_sharded_decode_matches_single_device():
+    """TP+DP sharded full-IAN inference (MDCL coefficient tensors, MADE/IAF
+    latent path, packed RGB-Beta head) must match single-device numerics
+    under GSPMD -- the custom-VJP kernels' XLA fallbacks included."""
+    from npe_tpu.models import get_config
+
+    m = get_config("IAN")
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3)) * 0.5
+
+    f = jax.jit(lambda vv, xx: m.decode(vv, m.encode(vv, xx)))
+    ref = np.asarray(f(v, x))
+
+    mesh = make_mesh(shape=(4, 2))
+    out = np.asarray(f(shard_variables(v, mesh), shard_batch(x, mesh)))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_ian_data_parallel_step_matches_single_device():
+    """Full-IAN G and D steps under a DP mesh: losses match the unsharded
+    step, the frozen-MADE partition stays bit-identical (it must not train,
+    `train_IAN.py:194` excludes IAF params), and updated params agree within
+    Adam sign-noise tolerance."""
+    from npe_tpu.models import get_config
+    from npe_tpu.parallel.mesh import shard_train_state
+    from npe_tpu.training import train_step as TS
+
+    m = get_config("IAN")
+    cfg = dict(m.cfg)
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (8, 100))
+    rng = jax.random.PRNGKey(3)
+    lr = 2e-4
+
+    gen_step, discrim_step = TS.make_train_steps(m, cfg, donate=False)
+
+    s_single = TS.init_train_state(m, v, cfg)
+    s_single, mg_single = gen_step(s_single, x, z, rng, lr)
+    jax.block_until_ready(mg_single)
+    s_single, md_single = discrim_step(s_single, x, z, jax.random.fold_in(rng, 1), lr)
+    jax.block_until_ready(md_single)
+
+    frozen0 = {k: np.asarray(a) for k, a in TS.init_train_state(m, v, cfg)["parts"]["frozen"].items()}
+    assert frozen0, "full IAN must have a frozen MADE partition"
+
+    mesh = make_mesh(shape=(8, 1))
+    s_shard = shard_train_state(TS.init_train_state(m, v, cfg), mesh)
+    s_shard, mg_shard = gen_step(s_shard, shard_batch(x, mesh), shard_batch(z, mesh), rng, lr)
+    jax.block_until_ready(mg_shard)
+    s_shard, md_shard = discrim_step(
+        s_shard, shard_batch(x, mesh), shard_batch(z, mesh), jax.random.fold_in(rng, 1), lr
+    )
+    jax.block_until_ready(md_shard)
+
+    for single, shard in ((mg_single, mg_shard), (md_single, md_shard)):
+        for k in single:
+            np.testing.assert_allclose(
+                float(single[k]), float(shard[k]), rtol=5e-3, atol=5e-4, err_msg=k
+            )
+    # frozen MADE: bit-identical to init on BOTH paths
+    for k, a0 in frozen0.items():
+        np.testing.assert_array_equal(np.asarray(s_single["parts"]["frozen"][k]), a0, err_msg=k)
+        np.testing.assert_array_equal(np.asarray(s_shard["parts"]["frozen"][k]), a0, err_msg=k)
+    # a decoder weight and a latent-head weight agree within Adam sign-noise
+    for part, key in (("gen", "dec_conv2.W"), ("latent", "enc_mu.W")):
+        np.testing.assert_allclose(
+            np.asarray(s_single["parts"][part][key]),
+            np.asarray(s_shard["parts"][part][key]),
+            rtol=1e-2,
+            atol=2 * 2 * lr + 1e-6,
+            err_msg=f"{part}/{key}",
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip validation path must compile and run."""
     import importlib.util, pathlib

@@ -94,3 +94,128 @@ def test_adversarial_losses_binary_and_ternary():
     out1 = L.adversarial_losses(logits1, logits1, logits1, 1)
     assert float(out1["discrim_d_loss"]) < 0.05
     assert float(out1["discrim_g_loss"]) > 1.0
+
+
+def test_mixed_precision_step_matches_f32_trajectory():
+    """bf16 compute / f32 master weights (cfg['compute_dtype']): a short
+    alternating G/D trajectory stays within tolerance of the f32 one, the
+    master params and BN running stats remain float32, and losses are finite.
+    (VERDICT r2 item 2's guard test.)"""
+    m = get_config("IAN_simple")
+    base_cfg = dict(m.cfg)
+    base_cfg["batch_size"] = 4
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(12), (4, 100))
+
+    def run(compute_dtype, n_pairs=3):
+        cfg = dict(base_cfg)
+        if compute_dtype:
+            cfg["compute_dtype"] = compute_dtype
+        v = m.init(jax.random.PRNGKey(0))
+        state = TS.init_train_state(m, v, cfg)
+        gen_step, discrim_step = TS.make_train_steps(m, cfg, donate=False)
+        traj = []
+        for i in range(n_pairs):
+            k = jax.random.PRNGKey(100 + i)
+            state, mg = gen_step(state, x, z, k, 2e-4)
+            state, md = discrim_step(state, x, z, jax.random.fold_in(k, 1), 2e-4)
+            traj.append((float(mg["pixel_loss"]), float(mg["kl"]), float(md["discrim_d_loss"])))
+        return state, np.asarray(traj)
+
+    sf, tf = run(None)
+    sb, tb = run("bfloat16")
+
+    assert np.all(np.isfinite(tb))
+    # master weights and optimizer moments stay f32
+    for part in ("gen", "latent", "discrim"):
+        for k, p in sb["parts"][part].items():
+            assert p.dtype == np.float32, (part, k, p.dtype)
+    for k in ("bnorm2.mean", "bnorm2.inv_std"):
+        assert sb["parts"]["state"][k].dtype == np.float32
+    # trajectories agree within bf16 tolerance (loose: 3 G/D pairs compound
+    # the rounding; catches wrong-dtype-accumulation bugs by an order of
+    # magnitude, not rounding noise)
+    np.testing.assert_allclose(tb, tf, rtol=0.12, atol=0.02)
+
+
+def test_chunk_step_single_step_forward_parity():
+    """A 1-batch chunk program reproduces one gen_step EXACTLY at the
+    forward/metric level (same RNG derivation, same slicing). Param updates
+    may differ by O(lr): Adam normalizes the gradient, so compiler-dependent
+    backward rounding flips near-zero gradient signs -- covered by the
+    trajectory test below at the appropriate tolerance."""
+    m = get_config("IAN_simple")
+    cfg = dict(m.cfg)
+    cfg["batch_size"] = 4
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 64, 64, 3)) * 0.5
+    rng0 = jax.random.PRNGKey(21)
+    lr = 2e-4
+    state = TS.init_train_state(m, v, cfg)
+    gen_step, _ = TS.make_train_steps(m, cfg, donate=False)
+    rng, kz, ks = jax.random.split(rng0, 3)
+    z = jax.random.normal(kz, (4, cfg["num_latents"]))
+    _, mm = gen_step(state, x, z, ks, lr)
+
+    state2 = TS.init_train_state(m, v, cfg)
+    chunk = TS.make_chunk_step(m, cfg, 1, donate=False)
+    _, rng_out, gen_m, _, n_gen = chunk(state2, x, 0, rng0, lr)
+    assert float(n_gen) == 1.0
+    np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng))
+    for k in gen_m:
+        np.testing.assert_allclose(float(gen_m[k]), float(mm[k]), rtol=1e-6, err_msg=k)
+
+
+def test_chunk_step_matches_per_step_loop():
+    """TS.make_chunk_step (one scanned program per chunk, on-device z_rand +
+    metric averaging) follows the per-step host loop: same split-chain RNG,
+    same G/D alternation by (itr0 + i) % (update_ratio + 1). Params agree to
+    O(lr) per step (Adam sign-amplifies backward rounding, see above);
+    metrics to a few percent after the step-2+ divergence."""
+    m = get_config("IAN_simple")
+    cfg = dict(m.cfg)
+    cfg["batch_size"] = 4
+    nb = 4  # G, D, G, D
+    v = m.init(jax.random.PRNGKey(0))
+    x_chunk = jax.random.normal(jax.random.PRNGKey(7), (nb * 4, 64, 64, 3)) * 0.5
+    rng0 = jax.random.PRNGKey(21)
+    lr = 2e-4
+
+    # reference: the host loop
+    state = TS.init_train_state(m, v, cfg)
+    gen_step, discrim_step = TS.make_train_steps(m, cfg, donate=False)
+    rng = rng0
+    ref_metrics = []
+    for bi in range(nb):
+        xb = x_chunk[bi * 4 : (bi + 1) * 4]
+        rng, kz, ks = jax.random.split(rng, 3)
+        z_rand = jax.random.normal(kz, (4, cfg["num_latents"]))
+        step = gen_step if bi % 2 == 0 else discrim_step
+        state, mm = step(state, xb, z_rand, ks, lr)
+        ref_metrics.append({k: float(val) for k, val in mm.items()})
+    ref_state = state
+
+    # one chunk program, itr0=0
+    state2 = TS.init_train_state(m, v, cfg)
+    chunk_step = TS.make_chunk_step(m, cfg, nb, donate=False)
+    state2, rng_out, gen_m, dis_m, n_gen = chunk_step(state2, x_chunk, 0, rng0, lr)
+
+    assert float(n_gen) == 2.0
+    np.testing.assert_array_equal(np.asarray(rng_out), np.asarray(rng))
+    for part in ("gen", "latent", "discrim", "state"):
+        for k in ref_state["parts"][part]:
+            # params: a few Adam steps of sign-noise divergence (atol ~ lr);
+            # BN running stats: relative tolerance (rsqrt of a 4-sample
+            # variance amplifies the same divergence multiplicatively)
+            np.testing.assert_allclose(
+                np.asarray(state2["parts"][part][k]),
+                np.asarray(ref_state["parts"][part][k]),
+                rtol=0.3 if part == "state" else 0,
+                atol=8 * lr,
+                err_msg=f"{part}/{k}",
+            )
+    for k in gen_m:
+        want = np.mean([ref_metrics[i][k] for i in (0, 2)])
+        np.testing.assert_allclose(float(gen_m[k]), want, rtol=0.05, atol=0.02, err_msg=k)
+        want_d = np.mean([ref_metrics[i][k] for i in (1, 3)])
+        np.testing.assert_allclose(float(dis_m[k]), want_d, rtol=0.05, atol=0.02, err_msg=k)
