@@ -344,26 +344,28 @@ def _stacked_mdcl_taps(v, name, scales):
     return stack_mdcl_taps(v[f"{name}W"], v[f"{name}_coeff_base"], coeffs, scales)
 
 
-def init_encoder(vb, num_latents, in_channels=3):
-    """Shared encoder + discriminator head parameters."""
-    vb.conv("enc_conv1", in_channels, 128, bias=True)
-    vb.conv("enc_conv2", 128, 256, bias=False)
-    vb.bn("bnorm2", 256)
-    vb.conv("enc_conv3", 256, 512, bias=False)
-    vb.bn("bnorm3", 512)
-    vb.conv("enc_conv4", 512, 1024, bias=False)
-    vb.bn("bnorm4", 1024)
-    vb.dense("enc_fc1", 1024 * 4 * 4, 1000, bias=False)
-    vb.bn("bnorm_enc_fc1", 1000)
-    vb.dense("enc_mu", 1000, num_latents, bias=False)
+def init_encoder(vb, num_latents, in_channels=3, widths=(128, 256, 512, 1024), fc=1000):
+    """Shared encoder + discriminator head parameters. `widths`/`fc` default
+    to the reference tower (`IAN_simple.py:73-126`); the apply paths read
+    shapes from the weights, so narrow test profiles reuse the same code."""
+    vb.conv("enc_conv1", in_channels, widths[0], bias=True)
+    vb.conv("enc_conv2", widths[0], widths[1], bias=False)
+    vb.bn("bnorm2", widths[1])
+    vb.conv("enc_conv3", widths[1], widths[2], bias=False)
+    vb.bn("bnorm3", widths[2])
+    vb.conv("enc_conv4", widths[2], widths[3], bias=False)
+    vb.bn("bnorm4", widths[3])
+    vb.dense("enc_fc1", widths[3] * 4 * 4, fc, bias=False)
+    vb.bn("bnorm_enc_fc1", fc)
+    vb.dense("enc_mu", fc, num_latents, bias=False)
     vb.bn("mu_bnorm", num_latents)
-    vb.dense("enc_logsigma", 1000, num_latents, bias=False)
+    vb.dense("enc_logsigma", fc, num_latents, bias=False)
     vb.bn("ls_bnorm", num_latents)
 
 
-def init_discrim(vb, n_units, w_std):
-    vb.minibatch("minibatch_discrim", 1024, 500, 5)
-    vb.dense("discrimi", 1024 + 500, n_units, std=w_std, bias=False)
+def init_discrim(vb, n_units, w_std, feat=1024, n_kernels=500, dim_per_kernel=5):
+    vb.minibatch("minibatch_discrim", feat, n_kernels, dim_per_kernel)
+    vb.dense("discrimi", feat + n_kernels, n_units, std=w_std, bias=False)
 
 
 LRELU = lrelu(0.2)

@@ -173,9 +173,10 @@ def main():
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--local-devices", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--config", default="IAN_simple", help="model config name or path")
     a = p.parse_args()
     mesh = init_multihost(a.coordinator, a.num_processes, a.process_id, a.local_devices)
-    metrics = demo_step(mesh, batch_size=a.batch_size)
+    metrics = demo_step(mesh, batch_size=a.batch_size, config=a.config)
     if jax.process_index() == 0:
         print("MULTIHOST_METRICS " + json.dumps(metrics), flush=True)
     # Align all processes once more (proves every process finished the step),

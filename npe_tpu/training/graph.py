@@ -139,9 +139,13 @@ def discrim_loss_fn(discrim_params, other, module, cfg, x, z_rand, rng):
     out_raw = forward_all(module, variables, xc, zc, rng, upd=upd)
     x_hat = jax.lax.stop_gradient(out_raw["x_hat"])  # compute dtype
     g_xh = module.backbone(variables, x_hat, True, None)
-    p_x_hat = module.discrim_logits(variables, g_xh[-1]).astype(jnp.float32)
-    out = _f32_tree(out_raw)
-    adv = L.adversarial_losses(out["p_x"], p_x_hat, out["p_x_gen"], module.N_DISCRIM_CLASSES)
+    p_x_hat = module.discrim_logits(variables, g_xh[-1])
+    # Reuse the STOPPED pass's activations for the returned metrics too: the
+    # values are identical to forward_all's unstopped x_hat pass (stop_grad
+    # changes no primals), and with nothing else referencing that pass XLA
+    # dead-code-eliminates it -- one full encoder forward saved per D step.
+    out = _f32_tree({**out_raw, "g_xh": g_xh, "p_x_hat": p_x_hat})
+    adv = L.adversarial_losses(out["p_x"], out["p_x_hat"], out["p_x_gen"], module.N_DISCRIM_CLASSES)
     total = cfg["dg_weight"] * adv["discrim_g_loss"] + cfg["dd_weight"] * adv["discrim_d_loss"]
     if cfg.get("ortho"):
         total = total + cfg["ortho"] * L.ortho_penalty(discrim_params)

@@ -1,6 +1,7 @@
 """Multi-host data parallelism: 2 CPU processes x 2 virtual devices run one
-faithful IAN_simple G+D step over a global 4-device mesh (gloo collectives)
-and must produce numerics identical to the same step run single-process."""
+G+D step (IAN_simple-shaped tiny profile, tests/tiny_ian.py) over a global
+4-device mesh (gloo collectives) and must produce numerics identical to the
+same step run single-process."""
 
 import json
 import socket
@@ -44,6 +45,12 @@ def _run_workers(port):
                 "2",
                 "--batch-size",
                 "8",
+                # Narrow test profile (same layer names/partitions/code paths
+                # as IAN_simple at 1/8 width): cuts each worker's 1-core
+                # compile from minutes to seconds without losing coverage --
+                # the cross-process collectives are identical.
+                "--config",
+                "tests/tiny_ian.py",
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -94,7 +101,7 @@ def test_two_process_dp_matches_single_process():
     from npe_tpu.parallel.mesh import make_mesh
     from npe_tpu.parallel.multihost import demo_step
 
-    single = demo_step(make_mesh(), batch_size=8)
+    single = demo_step(make_mesh(), batch_size=8, config="tests/tiny_ian.py")
     assert set(single) == set(multi)
     for k in single:
         # rtol 5e-4: f32 reduction-order noise between the gloo cross-process

@@ -123,3 +123,85 @@ def test_http_transport():
     finally:
         httpd.shutdown()
         s.close()
+
+
+def test_slo_shortens_linger():
+    """A tight-SLO request dispatches well before the linger window expires;
+    requests without an SLO still aggregate into one batch."""
+    import time
+
+    from npe_tpu.serving import InferenceServer
+
+    s = InferenceServer(config="tests/tiny_ian.py", max_batch=8, linger_ms=4000.0, seed=0)
+    try:
+        # two warm calls: the first (compile-bound) is discarded, the second
+        # seeds the kernel-time EMA the SLO cap needs
+        s.decode(np.zeros((1, 16), np.float32)).result(timeout=600)
+        s.decode(np.zeros((1, 16), np.float32)).result(timeout=600)
+        t0 = time.perf_counter()
+        out = s.decode(np.zeros((1, 16), np.float32), slo=0.3).result(timeout=600)
+        dt = time.perf_counter() - t0
+        assert out.shape == (1, 64, 64, 3)
+        # the 4 s linger alone would exceed this; the SLO preempted it
+        assert dt < 3.0, dt
+        assert s.stats["slo_tightened"] >= 1
+        # no-SLO pair submitted back-to-back -> ONE batch (full linger)
+        b0 = s.stats["batches"]
+        f1 = s.decode(np.zeros((1, 16), np.float32))
+        f2 = s.decode(np.zeros((1, 16), np.float32))
+        f1.result(timeout=600)
+        f2.result(timeout=600)
+        assert s.stats["batches"] == b0 + 1
+    finally:
+        s.close()
+
+
+def test_multi_model_host_http():
+    """Two models in one process: per-model routes, default route, /models
+    listing, per-model stats, 404 on unknown model."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from npe_tpu.serving import InferenceServer, ModelHost, serve_http
+
+    host = ModelHost()
+    host.add("a", InferenceServer(config="tests/tiny_ian.py", max_batch=4, linger_ms=1.0, seed=0))
+    host.add("b", InferenceServer(config="tests/tiny_ian.py", max_batch=4, linger_ms=1.0, seed=1))
+    httpd = serve_http(host, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return np.asarray(json.load(r)["result"], np.float32)
+
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/models", timeout=30) as r:
+            models = json.load(r)
+        assert models == {"models": ["a", "b"], "default": "a"}
+
+        z = np.random.RandomState(5).randn(2, 16).astype(np.float32).tolist()
+        out_a = post("/a/decode", {"data": z, "slo_ms": 50.0})
+        out_b = post("/b/decode", {"data": z})
+        out_default = post("/decode", {"data": z})
+        assert out_a.shape == out_b.shape == (2, 64, 64, 3)
+        assert not np.allclose(out_a, out_b)  # different weights
+        np.testing.assert_allclose(out_default, out_a, rtol=1e-5, atol=1e-6)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/nope/decode", {"data": z})
+        assert ei.value.code == 404
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert set(stats) == {"a", "b"} and stats["a"]["requests"] >= 2
+    finally:
+        httpd.shutdown()
+        host.close()
