@@ -28,6 +28,24 @@ def patch_mask(h, w, c1, r1, c2, r2, dtype=jnp.float32):
     return m.astype(dtype)
 
 
+def soft_patch_mask(h, w, c1, r1, c2, r2, sigma, dtype=jnp.float32):
+    """Gaussian-feathered brush box (the reference's `gk` localizer,
+    `NPE.py:167-175`, shipped but left unwired there): 1 inside the box,
+    exp(-(dx^2 + dy^2) / (2 sigma^2 im)) outside, where dx/dy are the signed
+    pixel distances past the box edges. sigma is a RUNTIME scalar (no
+    per-value recompiles); sigma == 0 reproduces the hard box exactly."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
+    # distance outside the box per axis (0 inside), per the reference's
+    # [-c1..0, zeros, 1..im-c2] coordinate ramps
+    dx = jnp.maximum(jnp.maximum(c1 - cols, cols - (c2 - 1)), 0.0)
+    dy = jnp.maximum(jnp.maximum(r1 - rows, rows - (r2 - 1)), 0.0)
+    sig = jnp.maximum(jnp.asarray(sigma, dtype), 1e-6)  # keep exp() finite
+    soft = jnp.exp(-(dx**2 + dy**2) / (2.0 * sig**2 * h))
+    hard = patch_mask(h, w, c1, r1, c2, r2, dtype)
+    return jnp.where(jnp.asarray(sigma, dtype) > 0, soft, hard)
+
+
 class IAN:
     """Generic class for using IAN-style models with the NPE
     (reference `API.py:11-110`)."""

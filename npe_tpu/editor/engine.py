@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from npe_tpu.api import patch_mask
+from npe_tpu.api import patch_mask, soft_patch_mask
 from npe_tpu.models import get_config
 from npe_tpu.ops.filters import gaussian_blur_2d
 from npe_tpu.utils.ranges import from_tanh, to_tanh
@@ -34,6 +34,21 @@ SCROLL_WEIGHT = 0.1
 MASK_SIGMA = 0.7
 # Per-stroke user-mask accumulation rate (`NPE.py:221`, commented out there).
 USER_MASK_RATE = 0.05
+
+
+def _soft_box_profile(shape, x1, y1, x2, y2, sigma):
+    """Host-side (numpy) twin of api.soft_patch_mask for USER_MASK
+    accumulation: hard box when sigma == 0, `gk`-feathered otherwise."""
+    h, w = shape
+    prof = np.zeros(shape, np.float32)
+    prof[y1:y2, x1:x2] = 1.0
+    if sigma > 0:
+        cols = np.arange(w, dtype=np.float32)[None, :]
+        rows = np.arange(h, dtype=np.float32)[:, None]
+        dx = np.maximum(np.maximum(x1 - cols, cols - (x2 - 1)), 0.0)
+        dy = np.maximum(np.maximum(y1 - rows, rows - (y2 - 1)), 0.0)
+        prof = np.exp(-(dx**2 + dy**2) / (2.0 * sigma**2 * h)).astype(np.float32)
+    return prof
 
 
 def _mask_and_composite(xh_hwc, recon_hwc, error_hwc, user_mask=None):
@@ -97,15 +112,15 @@ class EditSession:
         def _decode_hwc(v, z_flat):
             return mod.decode(v, z_flat[None].astype(in_dtype))[0].astype(jnp.float32)
 
-        def _rgb_patch_loss(z_flat, v, c1, r1, c2, r2, rgb_hwc):
+        def _rgb_patch_loss(z_flat, v, c1, r1, c2, r2, sigma, rgb_hwc):
             xh = _decode_hwc(v, z_flat)
-            m = patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, xh.dtype)
+            m = soft_patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, sigma, xh.dtype)
             se = (rgb_hwc - xh) ** 2
             return jnp.sum(se * m[:, :, None]) / (jnp.sum(m) * xh.shape[2])
 
-        def _lighten_patch_loss(z_flat, v, c1, r1, c2, r2):
+        def _lighten_patch_loss(z_flat, v, c1, r1, c2, r2, sigma):
             xh = _decode_hwc(v, z_flat)
-            m = patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, xh.dtype)
+            m = soft_patch_mask(xh.shape[0], xh.shape[1], c1, r1, c2, r2, sigma, xh.dtype)
             return jnp.sum(xh * m[:, :, None]) / (jnp.sum(m) * xh.shape[2])
 
         if self.use_pallas:
@@ -119,20 +134,21 @@ class EditSession:
                 return _mask_and_composite(xh, recon, error, um)[0]
 
         @jax.jit
-        def _paint_step(v, z, c1, r1, c2, r2, rgb_hwc, recon, error, um, composite):
+        def _paint_step(v, z, c1, r1, c2, r2, sigma, rgb_hwc, recon, error, um, composite):
             """Full stroke propagation (`NPE.py:192-235`) as one program.
             composite=False reproduces the SAMPLE_FLAG path (latent update +
-            decode only)."""
-            g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, rgb_hwc)
+            decode only). sigma>0 feathers the brush (soft_patch_mask); it is
+            a runtime scalar, so brush shape changes never recompile."""
+            g = jax.grad(_rgb_patch_loss)(z, v, c1, r1, c2, r2, sigma, rgb_hwc)
             z2 = z - PAINT_WEIGHT * g * (1.0 + (c2 - c1))
             xh = _decode_hwc(v, z2)
             im = jnp.where(composite, _tail(xh, recon, error, um), xh)
             return z2, im, xh
 
         @jax.jit
-        def _scroll_step(v, z, c1, r1, c2, r2, direction):
+        def _scroll_step(v, z, c1, r1, c2, r2, sigma, direction):
             """Lighten/darken patch via gradient ascent (`NPE.py:305-314`)."""
-            g = jax.grad(_lighten_patch_loss)(z, v, c1, r1, c2, r2)
+            g = jax.grad(_lighten_patch_loss)(z, v, c1, r1, c2, r2, sigma)
             z2 = z + direction * SCROLL_WEIGHT * g * (1.0 + (c2 - c1))
             return z2, _decode_hwc(v, z2)
 
@@ -151,8 +167,11 @@ class EditSession:
         self._composite_fn = _composite_step
         self._encode_fn = _encode
         self._decode_fn = jax.jit(_decode_hwc)
+        self._init_state()
 
+    def _init_state(self):
         h, w = self.module.cfg["dims"]
+        zdim = self.module.cfg["num_latents"]
         self.sample_flag = False
         self.Z = jnp.zeros(zdim)
         self._gim = np.zeros((3, h, w), np.float32)  # ground truth, CHW tanh
@@ -165,6 +184,21 @@ class EditSession:
         # `NPE.py:330-340`). Each edit op pushes a snapshot; undo() pops.
         self._undo = []
         self.undo_depth = 32
+
+    def fork(self):
+        """A new session with fresh editor state that SHARES this session's
+        weights and compiled programs. Multi-image editing must not pay
+        another trace/compile per open image (one big-program compile is
+        minutes through a remote TPU tunnel), so the forked session reuses
+        every jitted closure; only the per-image state is new."""
+        s = object.__new__(EditSession)
+        for attr in (
+            "use_pallas", "module", "_dtype", "variables", "dim",
+            "_paint_fn", "_scroll_fn", "_composite_fn", "_encode_fn", "_decode_fn",
+        ):
+            setattr(s, attr, getattr(self, attr))
+        s._init_state()
+        return s
 
     # --- helpers ------------------------------------------------------------
 
@@ -265,19 +299,21 @@ class EditSession:
         self.IM = np.asarray(xh).transpose(2, 0, 1)
         return self.IM
 
-    def paint_stroke(self, x1, y1, x2, y2, rgb):
+    def paint_stroke(self, x1, y1, x2, y2, rgb, sigma=0.0):
         """One brush event (`NPE.py:192-235`). rgb: length-3 iterable in
         [0, 255] (the color picker's output, `NPE.py:353-359`). The box is
-        [y1, y2) rows x [x1, x2) cols in 64-space."""
+        [y1, y2) rows x [x1, x2) cols in 64-space. sigma>0 = soft brush: the
+        patch loss is feathered by the reference's `gk` Gaussian localizer
+        (`NPE.py:167-175`, unwired there)."""
         rgb_hwc = jnp.broadcast_to(
             jnp.asarray(to_tanh(np.float32(rgb))), self._recon.shape
         )
         self._snapshot()
-        # Accumulate the user mask under the brush box (the reference's
-        # sketched `USER_MASK[y1:y2,x1:x2]+=0.05`, `NPE.py:221`).
-        self.USER_MASK[y1:y2, x1:x2] = np.minimum(
-            self.USER_MASK[y1:y2, x1:x2] + USER_MASK_RATE, 1.0
-        )
+        # Accumulate the user mask under the brush (the reference's sketched
+        # `USER_MASK[y1:y2,x1:x2]+=0.05`, `NPE.py:221`); soft strokes
+        # accumulate the same feathered profile the loss sees.
+        prof = _soft_box_profile(self.USER_MASK.shape, x1, y1, x2, y2, sigma)
+        self.USER_MASK = np.minimum(self.USER_MASK + USER_MASK_RATE * prof, 1.0)
         z2, im, xh = self._paint_fn(
             self.variables,
             self.Z,
@@ -285,6 +321,7 @@ class EditSession:
             y1,
             x2,
             y2,
+            float(sigma),
             rgb_hwc,
             self._recon,
             self._error,
@@ -296,11 +333,11 @@ class EditSession:
         self.DELTA = np.asarray(xh - self._recon).transpose(2, 0, 1)
         return self.IM
 
-    def scroll_patch(self, x1, y1, x2, y2, direction):
+    def scroll_patch(self, x1, y1, x2, y2, direction, sigma=0.0):
         """Mouse-wheel lighten/darken (`NPE.py:305-314`)."""
         self._snapshot()
         z2, xh = self._scroll_fn(
-            self.variables, self.Z, x1, y1, x2, y2, float(np.sign(direction))
+            self.variables, self.Z, x1, y1, x2, y2, float(sigma), float(np.sign(direction))
         )
         self.Z = z2
         self.IM = np.asarray(xh).transpose(2, 0, 1)

@@ -22,6 +22,13 @@ grid):
     POST /reset       {}
     POST /update_gim  {}
     POST /infer       {index?}                         load validation image
+    POST /session     {name}                           switch to (forking if
+                      new) a named editing session; forks share compiled
+                      programs + weights, state is per-session
+    POST /session_close {name?}                        drop a session
+
+/paint and /scroll accept optional "sigma" (soft-brush feather; 0 = hard
+box, the reference's gk localizer wired as a runtime knob).
 
 Run: python -m npe_tpu.editor.web --weights IAN_simple.npz --port 8000
 """
@@ -52,8 +59,11 @@ border-radius:4px;cursor:pointer}
 <canvas id="latent" width="160" height="160"></canvas>
 <div id="controls">
 <label>brush <input type="range" id="size" min="1" max="64" value="12"></label>
+<label>feather <input type="range" id="feather" min="0" max="20" value="0"></label>
 <input type="color" id="color" value="#ff0000">
 <label>latent <input type="range" id="lval" min="-255" max="255" value="0"></label>
+<select id="sess" onchange="post('/session',{name:this.value})"></select>
+<button onclick="post('/session',{name:prompt('session name','img2')})">+</button>
 <button onclick="post('/undo',{})">Undo</button>
 <button onclick="post('/sample',{})">Sample</button>
 <button onclick="post('/reset',{})">Reset</button>
@@ -74,7 +84,11 @@ function draw(st){
       id==='photo'?256:160,id==='photo'?256:160);
     img.src='data:image/png;base64,'+st[key];
   }
+  const sel=document.getElementById('sess');
+  sel.innerHTML=(st.sessions||['main']).map(
+    n=>`<option${n===st.session?' selected':''}>${n}</option>`).join('');
 }
+function feather(){return document.getElementById('feather').value/10;}
 function box(e,c){const r=c.getBoundingClientRect();
   const x=Math.floor((e.clientX-r.left)/4),y=Math.floor((e.clientY-r.top)/4);
   const w=Math.floor(document.getElementById('size').value/4)+1;
@@ -85,10 +99,11 @@ function rgb(){const h=document.getElementById('color').value;
 photo.addEventListener('mousedown',()=>painting=true);
 window.addEventListener('mouseup',()=>painting=false);
 photo.addEventListener('mousemove',e=>{if(!painting)return;
-  const[x1,y1,x2,y2]=box(e,photo);post('/paint',{x1,y1,x2,y2,rgb:rgb()});});
+  const[x1,y1,x2,y2]=box(e,photo);
+  post('/paint',{x1,y1,x2,y2,rgb:rgb(),sigma:feather()});});
 photo.addEventListener('wheel',e=>{e.preventDefault();
   const[x1,y1,x2,y2]=box(e,photo);
-  post('/scroll',{x1,y1,x2,y2,direction:e.deltaY<0?1:-1});});
+  post('/scroll',{x1,y1,x2,y2,direction:e.deltaY<0?1:-1,sigma:feather()});});
 function latentPaint(e){
   const r=latent.getBoundingClientRect();
   const x=e.clientX-r.left,y=e.clientY-r.top;
@@ -116,10 +131,18 @@ class EditorService:
     RES = 16  # canvas px per latent cell (160x160 canvas, 10x10 grid)
 
     def __init__(self, session, valid=None):
-        self.session = session
+        # Named sessions (multi-image editing). Forks share the first
+        # session's compiled programs and weights (EditSession.fork), so
+        # opening another image costs state only -- no re-trace/re-compile.
+        self.sessions = {"main": session}
+        self.active = "main"
         self.valid = valid
         self.lock = threading.Lock()
         self._fallback_ds = None
+
+    @property
+    def session(self):
+        return self.sessions[self.active]
 
     def _latent_paint(self, body):
         """Free-form latent painting (reference `NPE.py:277-302`): fill the
@@ -154,15 +177,35 @@ class EditorService:
             "latent_png": _png_b64(np.repeat(np.repeat(lat, 16, 0), 16, 1)),
             "z": zg.tolist(),
             "sample_flag": bool(self.session.sample_flag),
+            "session": self.active,
+            "sessions": sorted(self.sessions),
         }
 
     def handle(self, route, body):
         s = self.session
         with self.lock:
             if route == "/paint":
-                s.paint_stroke(body["x1"], body["y1"], body["x2"], body["y2"], body["rgb"])
+                s.paint_stroke(
+                    body["x1"], body["y1"], body["x2"], body["y2"], body["rgb"],
+                    sigma=float(body.get("sigma", 0.0)),
+                )
             elif route == "/scroll":
-                s.scroll_patch(body["x1"], body["y1"], body["x2"], body["y2"], body["direction"])
+                s.scroll_patch(
+                    body["x1"], body["y1"], body["x2"], body["y2"], body["direction"],
+                    sigma=float(body.get("sigma", 0.0)),
+                )
+            elif route == "/session":
+                # switch to (creating if needed) a named session
+                name = str(body["name"])
+                if name not in self.sessions:
+                    self.sessions[name] = s.fork()
+                self.active = name
+            elif route == "/session_close":
+                name = str(body.get("name", self.active))
+                if name in self.sessions and len(self.sessions) > 1:
+                    del self.sessions[name]
+                    if self.active == name:
+                        self.active = sorted(self.sessions)[0]
             elif route == "/latents":
                 s.set_latents(np.asarray(body["grid"], np.float32))
             elif route == "/latent_paint":

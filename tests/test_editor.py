@@ -145,3 +145,35 @@ def test_user_mask_accumulates_and_floors_composite(session):
     # infer clears it
     session.infer(_fake_image())
     assert float(session.USER_MASK.max()) == 0.0
+
+
+def test_soft_brush_mask_and_stroke(session):
+    """sigma is a runtime knob (`api.soft_patch_mask`, the reference's gk
+    localizer `NPE.py:167-175`): 0 == hard box bitwise; >0 feathers."""
+    from npe_tpu.api import patch_mask, soft_patch_mask
+
+    hard = np.asarray(patch_mask(64, 64, 10, 12, 20, 22))
+    np.testing.assert_array_equal(hard, np.asarray(soft_patch_mask(64, 64, 10, 12, 20, 22, 0.0)))
+    soft = np.asarray(soft_patch_mask(64, 64, 10, 12, 20, 22, 1.5))
+    assert np.allclose(soft[12:22, 10:20], 1.0)  # 1 inside the box
+    assert 0 < soft[12, 5] < soft[12, 9] < 1.0  # monotone falloff outside
+    session.infer(_fake_image())
+    z0 = np.asarray(session.Z).copy()
+    im = session.paint_stroke(10, 10, 20, 20, (255, 0, 0), sigma=1.5)
+    assert np.isfinite(im).all()
+    assert not np.allclose(z0, np.asarray(session.Z))
+    # feathered USER_MASK accumulation reaches outside the box
+    assert session.USER_MASK[15, 25] > 0
+
+
+def test_fork_shares_programs_and_isolates_state(session):
+    s2 = session.fork()
+    # shared compiled programs + weights (no re-trace for a second image)
+    assert s2._paint_fn is session._paint_fn
+    assert s2._encode_fn is session._encode_fn
+    assert s2.variables is session.variables
+    session.infer(_fake_image())
+    z1 = np.asarray(session.Z).copy()
+    s2.sample(7)
+    assert not np.allclose(np.asarray(session.Z), np.asarray(s2.Z))
+    np.testing.assert_array_equal(z1, np.asarray(session.Z))  # untouched

@@ -121,3 +121,26 @@ def test_undo_route(server_url):
     st = _post(server_url, "/undo", {})  # empty stack: no-op, still 200
     np.testing.assert_allclose(np.asarray(st["z"]), before, atol=0)
     assert b"Undo" in _get(server_url, "/")
+
+
+def test_named_sessions_isolated(server_url):
+    """Multi-image editing: /session forks (shared compiled programs,
+    per-image state), /session_close removes."""
+    st = _post(server_url, "/session", {"name": "img2"})
+    assert st["session"] == "img2" and "main" in st["sessions"]
+    z2 = np.asarray(_post(server_url, "/sample", {"seed": 11})["z"])
+    st = _post(server_url, "/session", {"name": "main"})
+    assert st["session"] == "main"
+    assert not np.allclose(z2, np.asarray(st["z"]))
+    st = _post(server_url, "/session_close", {"name": "img2"})
+    assert st["sessions"] == ["main"]
+
+
+def test_soft_brush_paint(server_url):
+    before = np.asarray(json.loads(_get(server_url, "/state"))["z"])
+    st = _post(
+        server_url,
+        "/paint",
+        {"x1": 10, "y1": 10, "x2": 22, "y2": 22, "rgb": [0, 255, 0], "sigma": 1.2},
+    )
+    assert not np.allclose(before, np.asarray(st["z"]))
