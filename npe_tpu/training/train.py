@@ -316,13 +316,20 @@ def train(
             variables = TS.variables_of(state)
             if checkpoint_grids:
                 os.makedirs(pics_dir, exist_ok=True)
-                sample_and_interp_grid(
-                    module,
-                    variables,
-                    dataset,
-                    os.path.join(pics_dir, f"{name}_{epoch}.png"),
-                    seed=epoch * 42 + 5,
-                )
+                try:
+                    sample_and_interp_grid(
+                        module,
+                        variables,
+                        dataset,
+                        os.path.join(pics_dir, f"{name}_{epoch}.png"),
+                        seed=epoch * 42 + 5,
+                    )
+                except jax.errors.JaxRuntimeError as e:
+                    # Transient backend failure (e.g. a dropped remote-TPU
+                    # tunnel during the device->host image fetch) must not
+                    # kill an hours-long run over an eval artifact; the grid
+                    # for this epoch is simply skipped.
+                    logging.warning("checkpoint grid skipped (backend error): %s", e)
             meta = {"epoch": epoch, "itr": itr, "ts": time.time(), "learning_rate": lr}
             # Full opt-state saves are ~3x the weights; over a slow
             # host<->device link the per-leaf device_get dominates the
@@ -343,49 +350,55 @@ def train(
                 from npe_tpu.training.evaluate import validation_pixel_accuracy
                 from npe_tpu.training.quality import encoder_fid
 
-                ev = validation_pixel_accuracy(module, variables, valid_dataset, cfg, max_chunks=1)
-                # FID batch clamped to the validation set size so small sets
-                # still yield one chunk (evaluate.py handles the same case).
-                n_fid = min(256, valid_dataset.num_examples)
-                fid_bs = min(cfg["batch_size"], n_fid)
-                chunk = next(
-                    iter(
-                        data_loader(
-                            {
-                                **cfg,
-                                "batch_size": fid_bs,
-                                "batches_per_chunk": max(1, n_fid // fid_bs),
-                            },
-                            valid_dataset,
-                            offset=0,
-                        )
-                    ),
-                    None,
-                )
-                if chunk is None:
-                    ev["encoder_fid"] = float("nan")
-                else:
-                    real = chunk.transpose(0, 2, 3, 1)
-                    # The FIRST validation checkpoint freezes the feature
-                    # space (quality.py: comparing FIDs from a drifting
-                    # encoder conflates encoder movement with sample quality).
-                    if fid_feature_vars is None:
-                        fid_feature_vars = jax.device_get(variables)
-                    ev["encoder_fid"] = encoder_fid(
-                        module,
-                        variables,
-                        real,
-                        num=min(n_fid, len(real)),
-                        seed=epoch,
-                        feature_variables=fid_feature_vars,
+                try:
+                    ev = validation_pixel_accuracy(module, variables, valid_dataset, cfg, max_chunks=1)
+                    # FID batch clamped to the validation set size so small sets
+                    # still yield one chunk (evaluate.py handles the same case).
+                    n_fid = min(256, valid_dataset.num_examples)
+                    fid_bs = min(cfg["batch_size"], n_fid)
+                    chunk = next(
+                        iter(
+                            data_loader(
+                                {
+                                    **cfg,
+                                    "batch_size": fid_bs,
+                                    "batches_per_chunk": max(1, n_fid // fid_bs),
+                                },
+                                valid_dataset,
+                                offset=0,
+                            )
+                        ),
+                        None,
                     )
-                logging.info(
-                    "validation: pixel_acc=%.4f mse=%.4f encoder_fid=%.3f",
-                    ev["test_error"],
-                    ev["mse"],
-                    ev["encoder_fid"],
-                )
-                mlog.log(epoch=epoch, itr=itr, validation=ev)
+                    if chunk is None:
+                        ev["encoder_fid"] = float("nan")
+                    else:
+                        real = chunk.transpose(0, 2, 3, 1)
+                        # The FIRST validation checkpoint freezes the feature
+                        # space (quality.py: comparing FIDs from a drifting
+                        # encoder conflates encoder movement with sample quality).
+                        if fid_feature_vars is None:
+                            fid_feature_vars = jax.device_get(variables)
+                        ev["encoder_fid"] = encoder_fid(
+                            module,
+                            variables,
+                            real,
+                            num=min(n_fid, len(real)),
+                            seed=epoch,
+                            feature_variables=fid_feature_vars,
+                        )
+                    logging.info(
+                        "validation: pixel_acc=%.4f mse=%.4f encoder_fid=%.3f",
+                        ev["test_error"],
+                        ev["mse"],
+                        ev["encoder_fid"],
+                    )
+                    mlog.log(epoch=epoch, itr=itr, validation=ev)
+                except jax.errors.JaxRuntimeError as e:
+                    # Same transient-backend rationale as the grid above:
+                    # validation is an eval artifact, not training state;
+                    # a dropped tunnel here killed a 250-epoch run once.
+                    logging.warning("validation skipped (backend error): %s", e)
 
     logging.info("training done")
     return state
