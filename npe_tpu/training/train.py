@@ -407,7 +407,13 @@ def train(
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config_path", help="model config name or path (IAN, IANv1, IAN_simple)")
-    p.add_argument("--resume", type=bool, default=False)
+    # NOT type=bool: bool("False") is True, so any value would resume.
+    # Accepts the reference's `--resume=True` spelling (`train_IAN.py:580`).
+    p.add_argument(
+        "--resume",
+        type=lambda s: s.strip().lower() in ("1", "true", "yes"),
+        default=False,
+    )
     p.add_argument(
         "--dataset",
         default="synthetic",
