@@ -20,12 +20,12 @@ import numpy as np
 BASELINE_MS = 10.0
 
 
-def run(iters=100, warmup=2):
+def run(iters=100, warmup=2, model="IAN_simple"):
     from npe_tpu.api import patch_mask
     from npe_tpu.models import get_config
     from npe_tpu.ops.pallas.editor_kernels import blur_matrix, edit_tail_reference
 
-    module = get_config("IAN_simple")
+    module = get_config(model)
     v = module.init(jax.random.PRNGKey(0))
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -80,16 +80,19 @@ def run(iters=100, warmup=2):
         rounds.append((time.perf_counter() - t0) / iters * 1000.0)
     ms = float(np.median(rounds))  # p50 over rounds
     return {
-        "metric": "edit_propagation_step_latency",
+        "metric": "edit_propagation_step_latency"
+        + ("" if model == "IAN_simple" else f"_{model.lower()}"),
         "value": round(ms, 3),
         "unit": "ms/step (on-device)",
         "vs_baseline": round(BASELINE_MS / ms, 3),
     }
 
 
-def main(iters=100, warmup=2):
-    print(json.dumps(run(iters=iters, warmup=warmup)))
+def main(iters=100, warmup=2, model="IAN_simple"):
+    print(json.dumps(run(iters=iters, warmup=warmup, model=model)))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(model=sys.argv[1] if len(sys.argv) > 1 else "IAN_simple")

@@ -80,6 +80,7 @@ def train(
     num_valid_examples=1024,
     fid_feature_weights=None,
     state_every=1,
+    async_checkpoint=False,
 ):
     module = get_config(config)
     cfg = dict(module.cfg)
@@ -108,11 +109,16 @@ def train(
     # is data-dependent on the host.
     adaptive_acc = cfg.get("adaptive_ratio_acc")
     if adaptive_acc is None:
-        chunk_step = TS.make_chunk_step(module, cfg, cfg["batches_per_chunk"])
+        # async_checkpoint holds a reference to the epoch-N state while the
+        # next chunk runs, so the step must NOT donate its state buffers
+        # (donation would delete them under the in-flight fetch).
+        chunk_step = TS.make_chunk_step(
+            module, cfg, cfg["batches_per_chunk"], donate=not async_checkpoint
+        )
         gen_step = discrim_step = None
     else:
         chunk_step = None
-        gen_step, discrim_step = TS.make_train_steps(module, cfg)
+        gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=not async_checkpoint)
 
     itr = 0
     min_epoch = 0
@@ -187,6 +193,8 @@ def train(
     if fid_feature_weights:
         fid_feature_vars = module.init(jax.random.PRNGKey(seed))
         checkpoints.load_weights(fid_feature_weights, fid_feature_vars)
+
+    ckptr = checkpoints.AsyncCheckpointer() if async_checkpoint else None
 
     for epoch in range(min_epoch, cfg["max_epochs"]):
         offset = not offset
@@ -338,14 +346,28 @@ def train(
             # (weights still save every checkpoint, like the reference's
             # per-epoch npz, `train_IAN.py:567-571`). Metadata rides in the
             # state file so a resume stays epoch-consistent with the moments.
-            if (checkpoint_count - 1) % state_every == 0 or epoch == cfg["max_epochs"] - 1:
-                host_state = fetch.packed_device_get(state)
-                checkpoints.save_weights(weights_fname, TS.variables_of(host_state), meta)
-                checkpoints.save_train_state(state_fname, host_state, metadata=meta)
+            save_full_state = (
+                (checkpoint_count - 1) % state_every == 0 or epoch == cfg["max_epochs"] - 1
+            )
+
+            def _do_save(dev_state, dev_variables, meta=meta, full=save_full_state):
+                if full:
+                    host_state = fetch.packed_device_get(dev_state)
+                    checkpoints.save_weights(weights_fname, TS.variables_of(host_state), meta)
+                    checkpoints.save_train_state(state_fname, host_state, metadata=meta)
+                else:
+                    checkpoints.save_weights(
+                        weights_fname, fetch.packed_device_get(dev_variables), meta
+                    )
+
+            if ckptr is not None:
+                # The fetch+write runs on the checkpoint thread against the
+                # immutable epoch-N device buffers while epoch N+1 trains;
+                # over the slow device->host tunnel this hides minutes of
+                # otherwise-idle TPU time per checkpoint.
+                ckptr.submit(_do_save, state, variables)
             else:
-                checkpoints.save_weights(
-                    weights_fname, fetch.packed_device_get(variables), meta
-                )
+                _do_save(state, variables)
             if valid_dataset is not None:
                 from npe_tpu.training.evaluate import validation_pixel_accuracy
                 from npe_tpu.training.quality import encoder_fid
@@ -400,6 +422,8 @@ def train(
                     # a dropped tunnel here killed a 250-epoch run once.
                     logging.warning("validation skipped (backend error): %s", e)
 
+    if ckptr is not None:
+        ckptr.close()
     logging.info("training done")
     return state
 
@@ -443,6 +467,13 @@ def main():
     )
     p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first chunk")
     p.add_argument(
+        "--async-checkpoint",
+        action="store_true",
+        help="fetch+write checkpoints on a background thread so training "
+        "continues through the slow device->host transfer (disables step "
+        "buffer donation; saves stay ordered and atomic)",
+    )
+    p.add_argument(
         "--fid-feature-weights",
         default=None,
         help="checkpoint defining the frozen encoder-FID feature space "
@@ -477,6 +508,7 @@ def main():
         valid_dataset_spec=a.valid_dataset,
         fid_feature_weights=a.fid_feature_weights,
         state_every=a.state_every,
+        async_checkpoint=a.async_checkpoint,
     )
 
 

@@ -196,3 +196,51 @@ def load_train_state_orbax(path, like=None):
         if like is not None:
             return ckptr.restore(os.path.abspath(path), like)
         return ckptr.restore(os.path.abspath(path))
+
+
+# --- async checkpointing ---------------------------------------------------
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint device->host fetch + file write with training.
+
+    Motivation (measured, see BENCHMARKS.md "axon tunnel"): the remote-TPU
+    device->host link runs at ~4.3 MB/s, so fetching a full-IAN train state
+    (~650 MB) stalls the training loop for minutes per checkpoint -- while
+    the TPU itself sits idle. Device buffers in JAX are immutable and the
+    functional train step allocates fresh ones, so a reference to the
+    epoch-N state can be fetched from a worker thread while the main thread
+    dispatches epoch N+1.
+
+    At most one save is in flight (`submit` joins the previous one first):
+    saves stay ordered, the extra device-memory footprint is bounded to one
+    retained state, and the crash guarantee is unchanged from the sync path
+    -- each file still lands via atomic tmp+rename (`save_weights`), and a
+    crash loses at most the newest checkpoint. Call `wait()` before reading
+    the files back (e.g. resume-in-process) and at end of training.
+
+    Exceptions from the worker (including transient backend drops) are
+    re-raised on the NEXT submit/wait so the trainer's own error handling
+    (babysitter restart) still engages.
+    """
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt"
+        )
+        self._inflight = None
+
+    def submit(self, fn, *args, **kwargs):
+        self.wait()
+        self._inflight = self._pool.submit(fn, *args, **kwargs)
+
+    def wait(self):
+        if self._inflight is not None:
+            f, self._inflight = self._inflight, None
+            f.result()
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown(wait=True)

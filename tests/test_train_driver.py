@@ -106,3 +106,37 @@ def test_train_driver_mesh(tmp_path):
     for r in recs:
         for v in r["metrics"].values():
             assert np.isfinite(v)
+
+
+def test_train_driver_async_checkpoint(tmp_path):
+    """--async-checkpoint moves the fetch+save to a worker thread (and turns
+    off step-buffer donation so the in-flight state stays fetchable). The
+    training math is untouched: final weights must be bit-identical to the
+    sync path, and the async-written checkpoint must be loadable."""
+    from npe_tpu.utils import checkpoints
+
+    outs = {}
+    for mode, sub in (("sync", "a"), ("async", "b")):
+        out = tmp_path / sub
+        train(
+            config="tests/tiny_ian.py",
+            dataset_spec="synthetic",
+            num_examples=32,
+            out_dir=str(out),
+            pics_dir=str(out / "pics"),
+            checkpoint_grids=False,
+            cfg_overrides={**_overrides(), "max_epochs": 2},
+            seed=3,
+            async_checkpoint=(mode == "async"),
+        )
+        outs[mode] = out
+
+    ws = {}
+    for mode, out in outs.items():
+        ws[mode] = {}
+        meta = checkpoints.load_weights(str(out / "tiny_ian.npz"), ws[mode])
+        assert meta["epoch"] == 1
+        assert os.path.isfile(out / "tiny_ian_train_state.npz")
+    assert set(ws["sync"]) == set(ws["async"])
+    for k in ws["sync"]:
+        np.testing.assert_array_equal(ws["sync"][k], ws["async"][k], err_msg=k)
