@@ -188,11 +188,23 @@ def train(
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
     # Frozen feature space for encoder-FID: a passed checkpoint, else the
-    # first validation checkpoint of this run (set in the loop below).
+    # first validation checkpoint of this run (set in the loop below and
+    # PERSISTED to <name>_fid_basis.npz so a crash-resume keeps the same
+    # feature space -- otherwise every resume would silently rebase the FID
+    # curve on whatever the encoder looks like at its first checkpoint).
+    fid_basis_fname = os.path.join(out_dir, name + "_fid_basis.npz")
     fid_feature_vars = None
     if fid_feature_weights:
         fid_feature_vars = module.init(jax.random.PRNGKey(seed))
         checkpoints.load_weights(fid_feature_weights, fid_feature_vars)
+    elif os.path.isfile(fid_basis_fname):
+        fid_feature_vars = module.init(jax.random.PRNGKey(seed))
+        meta = checkpoints.load_weights(fid_basis_fname, fid_feature_vars)
+        logging.info(
+            "encoder-FID feature basis restored from %s (epoch %s)",
+            fid_basis_fname,
+            (meta or {}).get("epoch"),
+        )
 
     ckptr = checkpoints.AsyncCheckpointer() if async_checkpoint else None
 
@@ -400,7 +412,12 @@ def train(
                         # space (quality.py: comparing FIDs from a drifting
                         # encoder conflates encoder movement with sample quality).
                         if fid_feature_vars is None:
-                            fid_feature_vars = jax.device_get(variables)
+                            # Packed fetch (one RPC per dtype, not per leaf)
+                            # and saved for resume continuity.
+                            fid_feature_vars = fetch.packed_device_get(variables)
+                            checkpoints.save_weights(
+                                fid_basis_fname, fid_feature_vars, {"epoch": epoch}
+                            )
                         ev["encoder_fid"] = encoder_fid(
                             module,
                             variables,

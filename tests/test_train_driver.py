@@ -140,3 +140,36 @@ def test_train_driver_async_checkpoint(tmp_path):
     assert set(ws["sync"]) == set(ws["async"])
     for k in ws["sync"]:
         np.testing.assert_array_equal(ws["sync"][k], ws["async"][k], err_msg=k)
+
+
+def test_fid_feature_basis_persists_across_resume(tmp_path):
+    """The frozen encoder-FID feature basis is written at the first
+    validation checkpoint and reloaded on resume -- a crash-resume must not
+    silently rebase the FID curve on a later encoder."""
+    from npe_tpu.utils import checkpoints
+
+    kw = dict(
+        config="tests/tiny_ian.py",
+        dataset_spec="synthetic",
+        num_examples=32,
+        out_dir=str(tmp_path),
+        pics_dir=str(tmp_path / "pics"),
+        checkpoint_grids=False,
+        seed=3,
+        valid_dataset_spec="synthetic",
+        num_valid_examples=32,
+    )
+    train(cfg_overrides=_overrides(), **kw)
+    basis = tmp_path / "tiny_ian_fid_basis.npz"
+    assert basis.is_file()
+    meta = checkpoints.load_weights(str(basis), {})
+    assert meta["epoch"] == 0
+
+    train(cfg_overrides={**_overrides(), "max_epochs": 2}, resume=True, **kw)
+    # still the epoch-0 basis, not re-derived from the epoch-1 encoder
+    meta = checkpoints.load_weights(str(basis), {})
+    assert meta["epoch"] == 0
+    recs = read_records(str(tmp_path / "tiny_ianMETRICS.jsonl"))
+    vrecs = [r for r in recs if "validation" in r]
+    assert len(vrecs) == 2
+    assert all(np.isfinite(r["validation"]["encoder_fid"]) for r in vrecs)
