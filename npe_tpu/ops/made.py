@@ -134,9 +134,16 @@ def made_init(key, name, input_size, hidden_sizes, seed=1234, n_shuffles=1):
 
 def masked_dense(z, w, mask, b=None, nonlinearity=None):
     """MaskedLayer / DIML core op (reference `layers.py:653-707`): dense with
-    a non-trainable binary weights_mask."""
-    out = dense(z, w * mask, b)
+    a non-trainable binary weights_mask. The mask is 0/1 (exact in every
+    float dtype), so it casts to the weight's compute dtype instead of
+    promoting a bf16 mixed-precision forward back to f32."""
+    out = dense(z, w * mask.astype(w.dtype), b)
     return nonlinearity(out) if nonlinearity is not None else out
+
+
+def _masked(v, name):
+    w = v[f"{name}.W"]
+    return w * v[f"{name}.weights_mask"].astype(w.dtype)
 
 
 def made_apply(v, name, z, n_hidden=1):
@@ -145,9 +152,9 @@ def made_apply(v, name, z, n_hidden=1):
     h = z
     for i in range(n_hidden):
         lname = f"{name}_input" if i == 0 else f"{name}_layer_{i}"
-        h = relu(dense(h, v[f"{lname}.W"] * v[f"{lname}.weights_mask"], v[f"{lname}.b"]))
-    out = dense(h, v[f"{name}_output_W.W"] * v[f"{name}_output_W.weights_mask"], v[f"{name}_output_W.b"])
-    direct = dense(z, v[f"{name}_output_D.W"] * v[f"{name}_output_D.weights_mask"], v[f"{name}_output_D.b"])
+        h = relu(dense(h, _masked(v, lname), v[f"{lname}.b"]))
+    out = dense(h, _masked(v, f"{name}_output_W"), v[f"{name}_output_W.b"])
+    direct = dense(z, _masked(v, f"{name}_output_D"), v[f"{name}_output_D.b"])
     return out + direct
 
 

@@ -59,3 +59,42 @@ def test_made_hidden_any_size():
     v = made_init(jax.random.PRNGKey(0), "m", 6, [13])
     out = made_apply(v, "m", jnp.ones((2, 6)), n_hidden=1)
     assert out.shape == (2, 6)
+
+
+def test_made_apply_keeps_compute_dtype_with_f32_mask():
+    """Mixed-precision regression (round 3): weights_mask is non-trainable
+    and stays f32 while the W alongside it is cast to bf16 for the compute
+    pass; the 0/1 mask must cast to W's dtype instead of promoting the MADE
+    output (and everything downstream -- the IAF'd latent feeds the decoder,
+    whose convs require matching dtypes) back to float32."""
+    v = made_init(jax.random.PRNGKey(0), "l_IAF_mu", 16, [128], seed=1234)
+    z = jnp.zeros((2, 16), jnp.bfloat16)
+    v16 = {
+        k: a.astype(jnp.bfloat16) if not k.endswith("weights_mask") else a
+        for k, a in v.items()
+    }
+    for k in v16:
+        if k.endswith("weights_mask"):
+            assert v16[k].dtype == jnp.float32  # the mixed-dtype premise
+    out = made_apply(v16, "l_IAF_mu", z)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_full_ian_bf16_train_step_traces():
+    """The full IAN G/D steps must trace under cfg['compute_dtype']=bfloat16
+    (the frozen-MADE mask multiply was the dtype hole; eval_shape catches
+    any strict-dtype op like conv_general_dilated without compiling)."""
+    from npe_tpu.models import get_config
+    from npe_tpu.training import train_step as TS
+
+    module = get_config("IAN")
+    cfg = dict(module.cfg)
+    cfg["compute_dtype"] = "bfloat16"
+    cfg["batch_size"] = 2
+    variables = module.init(jax.random.PRNGKey(0))
+    state = TS.init_train_state(module, variables, cfg)
+    gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=False)
+    x = jnp.zeros((2, 64, 64, 3))
+    z = jnp.zeros((2, cfg["num_latents"]))
+    jax.eval_shape(lambda s: gen_step(s, x, z, jax.random.PRNGKey(1), 2e-4), state)
+    jax.eval_shape(lambda s: discrim_step(s, x, z, jax.random.PRNGKey(1), 2e-4), state)
