@@ -363,14 +363,23 @@ def train(
             )
 
             def _do_save(dev_state, dev_variables, meta=meta, full=save_full_state):
-                if full:
-                    host_state = fetch.packed_device_get(dev_state)
-                    checkpoints.save_weights(weights_fname, TS.variables_of(host_state), meta)
-                    checkpoints.save_train_state(state_fname, host_state, metadata=meta)
-                else:
-                    checkpoints.save_weights(
-                        weights_fname, fetch.packed_device_get(dev_variables), meta
-                    )
+                # A failed WRITE (disk/fs-level OSError) must not kill a
+                # multi-hour run: the previous checkpoint is still on disk
+                # (atomic rename) and the next checkpoint retries. Backend
+                # errors (dropped tunnel during the fetch) still propagate --
+                # training itself is failing then and the babysitter's
+                # restart+resume is the right response.
+                try:
+                    if full:
+                        host_state = fetch.packed_device_get(dev_state)
+                        checkpoints.save_weights(weights_fname, TS.variables_of(host_state), meta)
+                        checkpoints.save_train_state(state_fname, host_state, metadata=meta)
+                    else:
+                        checkpoints.save_weights(
+                            weights_fname, fetch.packed_device_get(dev_variables), meta
+                        )
+                except OSError as e:
+                    logging.warning("checkpoint save failed (will retry next checkpoint): %s", e)
 
             if ckptr is not None:
                 # The fetch+write runs on the checkpoint thread against the

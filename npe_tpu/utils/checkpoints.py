@@ -64,6 +64,18 @@ def restore_made_masks(variables, metadata):
     return variables
 
 
+def _unique_tmp(fname):
+    """Per-writer tmp path for the atomic tmp+rename protocol. A SHARED tmp
+    name (the old `fname + '.tmp.npz'`) let two concurrent writers of the
+    same checkpoint (two resumed trainers on one out-dir -- observed round 3)
+    race: the first rename consumes the file and the loser dies on
+    FileNotFoundError, killing an hours-long run over a save."""
+    import threading
+    import uuid
+
+    return f"{fname}.tmp-{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}.npz"
+
+
 def save_weights(fname, variables, metadata=None, include_masks=False, compress=False):
     """Name-keyed save. MADE masks are excluded by default -- like the
     reference (they are non-trainable and regenerated deterministically at
@@ -86,10 +98,14 @@ def save_weights(fname, variables, metadata=None, include_masks=False, compress=
         metadata.setdefault("made_orderings", orderings)
     if metadata is not None:
         arrays[METADATA_KEY] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
-    tmp = fname + ".tmp.npz"
-    with open(tmp, "wb") as f:
-        (np.savez_compressed if compress else np.savez)(f, **arrays)
-    os.replace(tmp, fname)
+    tmp = _unique_tmp(fname)
+    try:
+        with open(tmp, "wb") as f:
+            (np.savez_compressed if compress else np.savez)(f, **arrays)
+        os.replace(tmp, fname)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_weights(fname, variables):
@@ -145,13 +161,17 @@ def save_train_state(fname, state, metadata=None):
     arrays["__treedef__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
     if metadata is not None:
         arrays["__metadata__"] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
-    tmp = fname + ".tmp.npz"
-    with open(tmp, "wb") as f:
-        # uncompressed: train states are ~3x the weights (Adam moments) and
-        # zlib on float noise costs minutes per epoch on a small host for a
-        # few percent size win
-        np.savez(f, **arrays)
-    os.replace(tmp, fname)
+    tmp = _unique_tmp(fname)
+    try:
+        with open(tmp, "wb") as f:
+            # uncompressed: train states are ~3x the weights (Adam moments)
+            # and zlib on float noise costs minutes per epoch on a small
+            # host for a few percent size win
+            np.savez(f, **arrays)
+        os.replace(tmp, fname)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_train_state(fname):

@@ -143,3 +143,36 @@ def test_packed_device_get_matches_device_get():
     for w, g in zip(flat_w, flat_g):
         assert w.dtype == g.dtype and w.shape == g.shape
         np.testing.assert_array_equal(np.asarray(w, np.float32), np.asarray(g, np.float32))
+
+
+def test_concurrent_saves_to_same_file_are_safe(tmp_path):
+    """Two writers saving the same checkpoint path concurrently (two resumed
+    trainers sharing an out-dir -- observed round 3) must both succeed: the
+    tmp file of the atomic tmp+rename protocol is per-writer, so one writer's
+    rename can never consume the other's tmp (the old shared name died with
+    FileNotFoundError). The surviving file must be a valid npz."""
+    import concurrent.futures
+
+    import numpy as np
+
+    from npe_tpu.utils import checkpoints as C
+
+    fname = str(tmp_path / "w.npz")
+    variables = {f"p{i}.W": np.full((64, 64), float(i), np.float32) for i in range(8)}
+
+    def save(tag):
+        C.save_weights(fname, variables, {"writer": tag})
+        return tag
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(save, t) for t in range(16)]
+        for f in futs:
+            f.result()  # no FileNotFoundError from a stolen tmp
+
+    target = {k: np.zeros((64, 64), np.float32) for k in variables}
+    meta = C.load_weights(fname, target)
+    assert "writer" in meta
+    for i in range(8):
+        np.testing.assert_array_equal(target[f"p{i}.W"], variables[f"p{i}.W"])
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp-" in p.name]
+    assert not leftovers, leftovers

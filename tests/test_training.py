@@ -219,3 +219,39 @@ def test_chunk_step_matches_per_step_loop():
         np.testing.assert_allclose(float(gen_m[k]), want, rtol=0.05, atol=0.02, err_msg=k)
         want_d = np.mean([ref_metrics[i][k] for i in (1, 3)])
         np.testing.assert_allclose(float(dis_m[k]), want_d, rtol=0.05, atol=0.02, err_msg=k)
+
+
+def test_full_ian_mixed_precision_trajectory():
+    """Full-IAN bf16 numeric guard (round 3): the frozen-MADE masked-dense
+    path (W bf16 * mask f32 -> cast, npe_tpu/ops/made.py) joins the
+    trajectory-equivalence property already held by IAN_simple. Two G/D
+    pair at batch 2; bf16 must track f32 loosely and keep f32 masters.
+    (One pair only: full-IAN fwd+bwd compiles dominate on the 1-core box.)"""
+    m = get_config("IAN")
+    base_cfg = dict(m.cfg)
+    base_cfg["batch_size"] = 2
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(22), (2, base_cfg["num_latents"]))
+
+    def run(compute_dtype, n_pairs=1):
+        cfg = dict(base_cfg)
+        if compute_dtype:
+            cfg["compute_dtype"] = compute_dtype
+        v = m.init(jax.random.PRNGKey(0))
+        state = TS.init_train_state(m, v, cfg)
+        gen_step, discrim_step = TS.make_train_steps(m, cfg, donate=False)
+        traj = []
+        for i in range(n_pairs):
+            k = jax.random.PRNGKey(300 + i)
+            state, mg = gen_step(state, x, z, k, 2e-4)
+            state, md = discrim_step(state, x, z, jax.random.fold_in(k, 1), 2e-4)
+            traj.append((float(mg["pixel_loss"]), float(mg["kl"]), float(md["discrim_d_loss"])))
+        return state, np.asarray(traj)
+
+    sf, tf = run(None)
+    sb, tb = run("bfloat16")
+    assert np.all(np.isfinite(tb))
+    for part in ("gen", "latent", "frozen", "discrim"):
+        for k, p in sb["parts"][part].items():
+            assert p.dtype == np.float32, (part, k, p.dtype)
+    np.testing.assert_allclose(tb, tf, rtol=0.15, atol=0.03)
