@@ -39,6 +39,39 @@ GEN_KEYS = ["gen_recon_loss", "gen_sample_loss", "pixel_loss", "feature_loss", "
 DISCRIM_KEYS = ["discrim_g_loss", "discrim_d_loss", "discrim_acc", "pixel_loss", "pixel_acc"]
 
 
+class AdaptiveRatioGuard:
+    """D-saturation guard (documented deviation from the reference's fixed
+    alternation, docs/PARITY.md): when the discriminator's running accuracy
+    EMA exceeds `threshold`, scheduled D steps are skipped (G trains
+    instead). While skipping, the EMA decays toward chance (0.5) -- D is not
+    being measured, and an EMA frozen at its last saturated value would
+    latch the guard on forever. The decay bounds the skip streak: after a
+    few skips the EMA re-crosses the threshold and the next scheduled D step
+    probes the real accuracy, re-engaging immediately if D is still
+    saturated."""
+
+    def __init__(self, threshold, period, decay=0.9, chance=0.5):
+        self.threshold = threshold
+        self.period = period
+        self.decay = decay
+        self.chance = chance
+        self.ema = 0.5
+
+    def should_gen(self, itr):
+        """True if step `itr` should train G (either by the faithful
+        alternation or because the guard is skipping a saturated D)."""
+        if itr % self.period == 0:
+            return True
+        if self.ema > self.threshold:
+            self.ema = self.decay * self.ema + (1 - self.decay) * self.chance
+            return True
+        return False
+
+    def observe(self, d_acc):
+        """Feed the accuracy measured by a D step that actually ran."""
+        self.ema = self.decay * self.ema + (1 - self.decay) * float(d_acc)
+
+
 def current_lr(cfg, epoch, lr):
     if isinstance(cfg["learning_rate"], dict):
         if epoch in cfg["learning_rate"]:
@@ -183,7 +216,7 @@ def train(
     # `adaptive_ratio_acc`, its updates are skipped (the step trains G
     # instead) until accuracy drops back -- the standard guard against D
     # saturation. Off (None) by default = faithful alternation.
-    d_acc_ema = 0.5
+    guard = AdaptiveRatioGuard(adaptive_acc, update_ratio + 1) if adaptive_acc else None
     checkpoint_count = 0
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
@@ -207,6 +240,12 @@ def train(
         )
 
     ckptr = checkpoints.AsyncCheckpointer() if async_checkpoint else None
+    # Consecutive checkpoint-WRITE failures (disk full, permissions...):
+    # one is survivable (the previous atomic checkpoint is intact, the next
+    # save retries), but a persistent failure would silently leave a
+    # multi-hour run with checkpoints hours stale -- escalate so the
+    # babysitter/operator notices (ADVICE r3).
+    save_failures = [0]
 
     for epoch in range(min_epoch, cfg["max_epochs"]):
         offset = not offset
@@ -302,10 +341,7 @@ def train(
                     )
                     rng, kz, ks = jax.random.split(rng, 3)
                     z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
-                    do_gen = itr % (update_ratio + 1) == 0
-                    if not do_gen and d_acc_ema > adaptive_acc:
-                        do_gen = True
-                    if do_gen:
+                    if guard.should_gen(itr):
                         state, m = gen_step(state, xb, z_rand, ks, lr)
                         for k in GEN_KEYS:
                             metrics[k].append(m[k])
@@ -313,7 +349,7 @@ def train(
                         state, m = discrim_step(state, xb, z_rand, ks, lr)
                         for k in DISCRIM_KEYS:
                             metrics[k].append(m[k])
-                        d_acc_ema = 0.9 * d_acc_ema + 0.1 * float(m["discrim_acc"])
+                        guard.observe(m["discrim_acc"])
                     itr += 1
 
             if profile_dir and epoch == min_epoch and iter_counter == 1:
@@ -378,7 +414,17 @@ def train(
                         checkpoints.save_weights(
                             weights_fname, fetch.packed_device_get(dev_variables), meta
                         )
+                    save_failures[0] = 0
                 except OSError as e:
+                    save_failures[0] += 1
+                    if save_failures[0] >= 3:
+                        logging.error(
+                            "checkpoint save failed %d times in a row; the "
+                            "checkpoint path is broken, aborting: %s",
+                            save_failures[0],
+                            e,
+                        )
+                        raise
                     logging.warning("checkpoint save failed (will retry next checkpoint): %s", e)
 
             if ckptr is not None:
