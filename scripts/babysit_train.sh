@@ -37,13 +37,21 @@ n=0
 while true; do
   python -m npe_tpu.training.train "$CONFIG" "$@" --resume True &
   pid=$!
+  start=$(date +%s)
   stalled=0
   if [ -n "$STALL_DIR" ]; then
     while kill -0 "$pid" 2>/dev/null; do
       sleep 60
       last=$(newest_mtime)
       now=$(date +%s)
-      if [ -n "${last:-}" ] && [ $((now - last)) -gt "$STALL_TIMEOUT" ]; then
+      # Clock stall time from max(newest file activity, THIS trainer's
+      # start): a resumed run's out-dir files can be hours old while the
+      # trainer is legitimately still in its 5-10 min first compile --
+      # measuring from stale mtimes killed a resume in a restart loop.
+      if [ -z "${last:-}" ] || [ "$last" -lt "$start" ]; then
+        last=$start
+      fi
+      if [ $((now - last)) -gt "$STALL_TIMEOUT" ]; then
         echo "babysit: no file activity in $STALL_DIR for $((now - last))s; killing $pid"
         kill "$pid" 2>/dev/null
         sleep 10
