@@ -382,9 +382,11 @@ def apply_backbone(v, x, train, upd):
     return c1, c2, c3, c4
 
 
-def apply_latent_heads(v, c4, train, upd):
-    """conv4 -> fc1 -> batchnormed (mu, logsigma)."""
-    f = elu(bn(v, upd, "bnorm_enc_fc1", dense(c4, v["enc_fc1.W"]), train))
+def apply_latent_heads(v, c4, train, upd, act=elu):
+    """conv4 -> fc1 -> batchnormed (mu, logsigma). `act` is the enc_fc1
+    nonlinearity: elu for IAN_simple (`IAN_simple.py:121`), relu for the
+    full IAN and IANv1 (`IAN.py:121`, `IANv1.py:114`)."""
+    f = act(bn(v, upd, "bnorm_enc_fc1", dense(c4, v["enc_fc1.W"]), train))
     mu = bn(v, upd, "mu_bnorm", dense(f, v["enc_mu.W"]), train)
     ls = bn(v, upd, "ls_bnorm", dense(f, v["enc_logsigma.W"]), train)
     return mu, ls

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from npe_tpu.models import common
 from npe_tpu.models.common import mdcl_multi, LRELU, VarBuilder, bn, mdblock, mdcl, unflatten_nchw
-from npe_tpu.ops.activations import sigmoid
+from npe_tpu.ops.activations import relu, sigmoid
 from npe_tpu.ops.beta import beta_mean
 from npe_tpu.ops.conv import deconv2d_phased as deconv2d
 from npe_tpu.ops.linear import dense
@@ -95,7 +95,9 @@ discrim_logits = common.apply_discrim_head
 
 def encode_stats(v, x, train=False, upd=None):
     feats = common.apply_backbone(v, x, train, upd)
-    mu, ls = common.apply_latent_heads(v, feats[-1], train, upd)
+    # enc_fc1 uses relu in this config (`IAN.py:121` / `IANv1.py:114`),
+    # unlike IAN_simple's elu.
+    mu, ls = common.apply_latent_heads(v, feats[-1], train, upd, act=relu)
     return mu, ls, feats
 
 

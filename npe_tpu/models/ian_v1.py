@@ -79,7 +79,9 @@ discrim_logits = common.apply_discrim_head
 
 def encode_stats(v, x, train=False, upd=None):
     feats = common.apply_backbone(v, x, train, upd)
-    mu, ls = common.apply_latent_heads(v, feats[-1], train, upd)
+    # enc_fc1 uses relu in this config (`IAN.py:121` / `IANv1.py:114`),
+    # unlike IAN_simple's elu.
+    mu, ls = common.apply_latent_heads(v, feats[-1], train, upd, act=relu)
     return mu, ls, feats
 
 
