@@ -85,11 +85,19 @@ def convert_theano_npz(src_path, dst_path, metadata=None):
     with np.load(src_path, allow_pickle=True) as f:
         stored = {k: f[k] for k in f.files}
     meta = {}
-    if "metadata" in stored:  # reference pickles metadata under 'metadata'
+    if "metadata" in stored:
+        # The reference stores pickle.dumps(metadata) under 'metadata'
+        # (`GANcheckpoints.py:19`); np.load yields it as a 0-d bytes array.
+        import pickle
+
+        raw = stored.pop("metadata")
         try:
-            meta = stored.pop("metadata").item()
+            item = raw.item() if hasattr(raw, "item") else raw
+            meta = pickle.loads(item) if isinstance(item, bytes) else item
+            if not isinstance(meta, dict):
+                meta = {}
         except Exception:
-            stored.pop("metadata", None)
+            meta = {}
     converted = {k: convert_param(k, v) for k, v in stored.items() if k != METADATA_KEY}
     save_weights(dst_path, converted, metadata or meta)
     return converted
