@@ -24,6 +24,57 @@ import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 5000.0
 
+# Analytic FLOPs per image (XLA cost analysis of the exact jitted programs,
+# CPU lowering; deterministic -- see BENCHMARKS.md "MFU accounting" for the
+# derivation command) and the v5e MXU peak they are measured against.
+# bf16 peak 197 TFLOP/s; f32-DEFAULT matmuls/convs on TPU run as bf16 with
+# f32 accumulation, so the same peak applies to the f32 train step.
+V5E_PEAK_FLOPS = 197e12
+FLOPS_PER_IMG = {
+    "IAN_simple": 2.185e9,
+    "IAN": 8.071e9,
+    "IANv1": 2.993e9,
+    "IAN_simple_train": 13.02e9,  # mean of gen (11.98) / discrim (14.06) steps, b128
+}
+
+
+def mfu(imgs_per_sec, flops_per_img):
+    return round(imgs_per_sec * flops_per_img / V5E_PEAK_FLOPS, 4)
+
+
+def chip_idle_probe(max_tries=4, settle_s=30.0, threshold_s=2.0):
+    """Guard against benching a contended chip (BENCH_r03's 145x train-bench
+    spread was chip contention from leftover training runs): time a tiny
+    chained program; if the round trip is way past the idle-tunnel norm
+    (~0.4-0.6 s RPC + microseconds of compute), wait and retry. Returns the
+    probe seconds actually observed (reported in the output for forensics)."""
+    if jax.default_backend() != "tpu":
+        return None
+
+    @jax.jit
+    def tiny(x):
+        def body(y, _):
+            return y @ y, ()
+
+        y, _ = jax.lax.scan(body, x, None, length=8)
+        return jnp.sum(y)
+
+    x = jnp.eye(128, dtype=jnp.bfloat16)
+    float(tiny(x))  # compile
+    for attempt in range(max_tries):
+        t0 = time.perf_counter()
+        float(tiny(x))
+        dt = time.perf_counter() - t0
+        if dt < threshold_s:
+            return round(dt, 3)
+        print(
+            json.dumps({"chip_probe_slow_s": round(dt, 3), "attempt": attempt}),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(settle_s)
+    return round(dt, 3)
+
 
 def run_throughput(model="IAN_simple", batch=256, iters=50, warmup=3, rounds=5, dtype=jnp.bfloat16):
     from npe_tpu.models import get_config
@@ -72,6 +123,7 @@ def run_throughput(model="IAN_simple", batch=256, iters=50, warmup=3, rounds=5, 
         "p50_round_ms": round(dt * 1000, 2),
         "spread_frac": round(spread, 3),
         "rounds": rounds,
+        "mfu": mfu(imgs_per_sec, FLOPS_PER_IMG[model]),
     }
 
 
@@ -106,6 +158,7 @@ def main():
             _emit(bench_train.run(model="IAN_simple", batch=128))
         return
 
+    probe_s = chip_idle_probe()
     primary = _emit(run_throughput("IAN_simple", batch=a.batch))
     extra = {}
     rounds = 3 if a.fast else 5
@@ -125,8 +178,16 @@ def main():
 
     grab(bench_edit.run)
     grab(bench_train.run, model="IAN_simple", batch=128, pairs=10, rounds=rounds)
+    grab(
+        bench_train.run,
+        model="IAN_simple",
+        batch=128,
+        pairs=10,
+        rounds=3,
+        compute_dtype="bfloat16",
+    )
 
-    _emit({**primary, "extra": extra})
+    _emit({**primary, "chip_probe_s": probe_s, "extra": extra})
 
 
 if __name__ == "__main__":

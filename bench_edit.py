@@ -20,8 +20,8 @@ import numpy as np
 BASELINE_MS = 10.0
 
 
-def run(iters=100, warmup=2, model="IAN_simple"):
-    from npe_tpu.api import patch_mask
+def run(iters=100, warmup=2, model="IAN_simple", rounds=20, steps_per_round=50):
+    from npe_tpu.api import soft_patch_mask
     from npe_tpu.models import get_config
     from npe_tpu.ops.pallas.editor_kernels import blur_matrix, edit_tail_reference
 
@@ -36,18 +36,20 @@ def run(iters=100, warmup=2, model="IAN_simple"):
     def decode_hwc(z):
         return module.decode(v, z[None])[0]
 
-    def rgb_loss(z, c1, r1, c2, r2, rgb):
+    def rgb_loss(z, c1, r1, c2, r2, sigma, rgb):
         xh = decode_hwc(z)
-        m = patch_mask(64, 64, c1, r1, c2, r2, xh.dtype)
+        # Runtime sigma: 0 == the hard box, >0 == the feathered gk brush --
+        # both stroke variants share this ONE compiled program (api.py wiring).
+        m = soft_patch_mask(64, 64, c1, r1, c2, r2, sigma, xh.dtype)
         return jnp.sum(((rgb - xh) ** 2) * m[:, :, None]) / (jnp.sum(m) * 3)
 
     recon = jnp.zeros((64, 64, 3))
     error = jnp.zeros((64, 64, 3))
     rgb = jnp.ones((64, 64, 3))
 
-    def one_step(z, box):
+    def one_step(z, box, sigma):
         c1, r1, c2, r2 = box
-        g = jax.grad(rgb_loss)(z, c1, r1, c2, r2, rgb)
+        g = jax.grad(rgb_loss)(z, c1, r1, c2, r2, sigma, rgb)
         z2 = z - 0.05 * g * (1.0 + (c2 - c1))
         xh = decode_hwc(z2)
         if on_tpu:
@@ -58,33 +60,51 @@ def run(iters=100, warmup=2, model="IAN_simple"):
 
     step = jax.jit(one_step)
 
-    # Chain dispatches through z (data dependency) so blocking on the last
-    # result forces every step; the brush box is a runtime arg so all steps
-    # share ONE compiled program (one ~5-10 min axon compile, then ~2 ms/step).
+    # Varied stroke sequence (the product's actual contract, per-mouse-event
+    # loop `NPE.py:192-235`): brush sizes 4..40 px, positions anywhere,
+    # alternating hard box / feathered soft brush. Brush coords and sigma are
+    # runtime args so every stroke shares ONE compiled program (one ~5-10 min
+    # axon compile, then ~ms steps).
     rng = np.random.RandomState(1)
-    boxes = [
-        (int(a), int(b), int(a) + 12, int(b) + 12) for a, b in rng.randint(0, 48, (iters, 2))
-    ]
+    n_strokes = rounds * steps_per_round
+    sizes = rng.randint(4, 41, n_strokes)
+    pos = rng.randint(0, 60, (n_strokes, 2))
+    strokes = []
+    for i in range(n_strokes):
+        a, b = int(pos[i][0]), int(pos[i][1])
+        s = int(sizes[i])
+        sigma = 0.0 if i % 2 == 0 else float(rng.uniform(0.3, 2.0))
+        strokes.append(((a, b, min(a + s, 63), min(b + s, 63)), sigma))
+
     z = jnp.zeros(module.cfg["num_latents"])
     for _ in range(max(warmup, 1)):
-        z2, im = step(z, boxes[0])
+        z2, im = step(z, strokes[0][0], strokes[0][1])
         im.block_until_ready()
 
-    rounds = []
-    for r in range(5):
+    # Each timed round chains `steps_per_round` strokes through z (a data
+    # dependency, so the final fetch forces every step -- under axon,
+    # block_until_ready alone is not a reliable barrier for earlier
+    # unchained dispatches); p50/p95 are over the per-round means.
+    round_ms = []
+    for r in range(rounds):
         zr = z
         t0 = time.perf_counter()
-        for box in boxes:
-            zr, im = step(zr, box)
-        im.block_until_ready()
-        rounds.append((time.perf_counter() - t0) / iters * 1000.0)
-    ms = float(np.median(rounds))  # p50 over rounds
+        for box, sigma in strokes[r * steps_per_round : (r + 1) * steps_per_round]:
+            zr, im = step(zr, box, sigma)
+        im.block_until_ready()  # im is data-dependent on the whole z chain
+        round_ms.append((time.perf_counter() - t0) / steps_per_round * 1000.0)
+    round_ms.sort()
+    p50 = float(np.percentile(round_ms, 50))
+    p95 = float(np.percentile(round_ms, 95))
     return {
         "metric": "edit_propagation_step_latency"
         + ("" if model == "IAN_simple" else f"_{model.lower()}"),
-        "value": round(ms, 3),
+        "value": round(p50, 3),
         "unit": "ms/step (on-device)",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
+        "vs_baseline": round(BASELINE_MS / p50, 3),
+        "p95_ms": round(p95, 3),
+        "strokes": n_strokes,
+        "mix": "sizes 4-40px, hard box / soft gk sigma 0.3-2.0 alternating",
     }
 
 

@@ -54,20 +54,40 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None):
     state, s = chained(state, x, z, jax.random.PRNGKey(10))
     checksum = float(s)  # warmup + compile
 
-    times = []
-    for r in range(rounds):
+    # Settle loop (BENCH_r03 forensics: round times of 0.4 s and 58 s in one
+    # run -- transient chip contention). Collect rounds until `rounds` of
+    # them agree within 30% of the fastest, up to 2*rounds+2 attempts; a
+    # transient blip is discarded and REPORTED, persistent contention still
+    # shows up as discarded >= rounds with a wide spread.
+    times, discarded = [], []
+    max_attempts = 2 * rounds + 2
+    for r in range(max_attempts):
         t0 = time.perf_counter()
         state, s = chained(state, x, z, jax.random.PRNGKey(100 + r))
         checksum = float(s)
         times.append(time.perf_counter() - t0)
+        lo = min(times)
+        good = [t for t in times if t <= 1.3 * lo]
+        if len(good) >= rounds:
+            discarded = sorted(t for t in times if t > 1.3 * lo)
+            times = sorted(good)
+            break
+    else:
+        times.sort()
     assert jnp.isfinite(checksum)
-    times.sort()
     dt = times[len(times) // 2]
 
     n_steps = 2 * pairs
     imgs_per_sec = batch * n_steps / dt
+    try:
+        from bench import FLOPS_PER_IMG, mfu as _mfu
+
+        mfu_val = _mfu(imgs_per_sec, FLOPS_PER_IMG[f"{model}_train"])
+    except Exception:
+        mfu_val = None
     return {
-        "metric": f"{model.lower()}_train_step_throughput",
+        "metric": f"{model.lower()}_train_step_throughput"
+        + (f"_{compute_dtype}" if compute_dtype else ""),
         "value": round(imgs_per_sec, 1),
         "unit": "imgs/sec/chip",
         "compute_dtype": compute_dtype or "float32",
@@ -75,7 +95,9 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None):
         "ms_per_step": round(dt / n_steps * 1e3, 3),
         "spread_frac": round((times[-1] - times[0]) / dt, 3),
         "round_times_s": [round(t, 3) for t in times],
-        "rounds": rounds,
+        "discarded_round_times_s": [round(t, 3) for t in discarded],
+        "rounds": len(times),
+        "mfu": mfu_val,
     }
 
 
