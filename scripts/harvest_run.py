@@ -66,7 +66,7 @@ def main():
         copied.append(dst)
 
     curves = os.path.join(a.assets, f"{a.tag}_curves.png")
-    subprocess.run(
+    r = subprocess.run(
         [
             sys.executable,
             os.path.join(os.path.dirname(__file__), "plot_training_curves.py"),
@@ -76,8 +76,13 @@ def main():
             "--title",
             a.tag,
         ],
-        check=False,
+        capture_output=True,
+        text=True,
     )
+    if r.returncode != 0:
+        # A failed render must be VISIBLE in the harvest log, not a silently
+        # missing/stale curves.png while the summary reports success.
+        print(f"WARNING: curve render failed (rc={r.returncode}): {r.stderr.strip()[-500:]}")
 
     # Markdown summary: one row per validation checkpoint.
     rows = [r for r in recs if "validation" in r]
