@@ -149,6 +149,48 @@ def test_tiny_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(w_a, w_b, rtol=1e-2, atol=2 * lr + 1e-6)
 
 
+def test_fused_d_step_grads_match_two_grad_form():
+    """The D step's single value_and_grad over (discrim ∪ latent) must equal
+    the two independent grads (discrim loss wrt discrim; Z loss wrt latent):
+    the stop_gradient plumbing keeps the partitions exactly isolated
+    (reference `train_IAN.py:253,274-276` semantics)."""
+    from npe_tpu.training import losses as L
+    from npe_tpu.training.graph import discrim_loss_fn, latent_loss_fn
+
+    m = get_config(TINY_FULL)
+    cfg = dict(m.cfg)
+    v = m.init(jax.random.PRNGKey(0))
+    state = TS.init_train_state(m, v, cfg)
+    parts = state["parts"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, cfg["num_latents"]))
+    rng = jax.random.PRNGKey(3)
+
+    other_d = {**parts["gen"], **parts["latent"], **parts["frozen"], **parts["state"]}
+    _, g_d_ref = jax.value_and_grad(discrim_loss_fn, has_aux=True)(
+        parts["discrim"], other_d, m, cfg, x, z, rng
+    )
+    other_z = {**parts["gen"], **parts["discrim"], **parts["frozen"], **parts["state"]}
+    _, g_z_ref = jax.value_and_grad(latent_loss_fn, has_aux=True)(
+        parts["latent"], other_z, m, cfg, x, z, rng
+    )
+
+    def d_and_z_loss(dl_params, other):
+        d_params = {k: w for k, w in dl_params.items() if L.partition_of(k) == "discrim"}
+        l_params = {k: w for k, w in dl_params.items() if L.partition_of(k) == "latent"}
+        dloss, _ = discrim_loss_fn(d_params, {**other, **l_params}, m, cfg, x, z, rng)
+        d_stop = {k: jax.lax.stop_gradient(w) for k, w in d_params.items()}
+        zloss, _ = latent_loss_fn(l_params, {**other, **d_stop}, m, cfg, x, z, rng)
+        return dloss + zloss
+
+    other = {**parts["gen"], **parts["frozen"], **parts["state"]}
+    grads = jax.grad(d_and_z_loss)({**parts["discrim"], **parts["latent"]}, other)
+    assert grads
+    for k, g in grads.items():
+        ref = (g_d_ref if L.partition_of(k) == "discrim" else g_z_ref)[k]
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-5, atol=1e-7, err_msg=k)
+
+
 # --- adaptive-ratio D-saturation guard ---------------------------------------
 
 
