@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from npe_tpu.ops.activations import elu, lrelu, relu
-from npe_tpu.ops.conv import conv2d, deconv2d, global_avg_pool
+from npe_tpu.ops.conv import conv2d, deconv2d, enc_conv2d, global_avg_pool
 from npe_tpu.ops.initializers import normal
 from npe_tpu.ops.linear import dense
 from npe_tpu.ops.minibatch import minibatch_discrimination
@@ -375,10 +375,10 @@ def apply_backbone(v, x, train, upd):
     """Encoder conv tower -> the four introspection feature maps
     (reference `l_introspect = [enc_conv1..4]`, `IAN_simple.py:240`).
     x: (N, 64, 64, 3) NHWC in [-1, 1]."""
-    c1 = LRELU(conv2d(x, v["enc_conv1.W"], stride=2, padding=2, b=v["enc_conv1.b"]))
-    c2 = LRELU(bn(v, upd, "bnorm2", conv2d(c1, v["enc_conv2.W"], stride=2, padding=2), train))
-    c3 = LRELU(bn(v, upd, "bnorm3", conv2d(c2, v["enc_conv3.W"], stride=2, padding=2), train))
-    c4 = LRELU(bn(v, upd, "bnorm4", conv2d(c3, v["enc_conv4.W"], stride=2, padding=2), train))
+    c1 = LRELU(enc_conv2d(x, v["enc_conv1.W"], b=v["enc_conv1.b"]))
+    c2 = LRELU(bn(v, upd, "bnorm2", enc_conv2d(c1, v["enc_conv2.W"]), train))
+    c3 = LRELU(bn(v, upd, "bnorm3", enc_conv2d(c2, v["enc_conv3.W"]), train))
+    c4 = LRELU(bn(v, upd, "bnorm4", enc_conv2d(c3, v["enc_conv4.W"]), train))
     return c1, c2, c3, c4
 
 

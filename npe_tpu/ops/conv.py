@@ -17,6 +17,7 @@ Reference native surface replaced here (SURVEY.md section 2.9):
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -177,6 +178,49 @@ def _deconv2d_block(x, w, b=None):
     so all four phases stack into one (3, 3, Cin, 4*Cout) kernel whose
     output depth_to_space(2) interleaves."""
     y = depth_to_space(deconv2d_block_packed(x, w), 2)
+    if b is not None:
+        y = y + b
+    return y
+
+
+# The encoder's stride-2 5x5 convs (reference `IAN_simple.py:73-116`) get a
+# custom VJP: XLA derives their input-gradient as ONE lhs-dilated conv over a
+# zero-stuffed cotangent -- at the tower's small spatial sizes that computes
+# ~4x the useful MACs (stride-2 zero-stuffing in 2-D). But the input-grad of
+# a stride-2 pad-2 5x5 conv IS a deconv with the channel-transposed kernel
+# (tests/test_conv.py:test_deconv_equals_grad_of_forward_conv), and the
+# backward shapes mirror the decoder's forward shapes exactly (4x4x1024 ->
+# 8x8x512, ..., 32x32x128 -> 64x64x3), so the v5e-measured `deconv2d_phased`
+# auto policy above applies as-is. Weight/bias grads keep XLA's derivation
+# (they fuse with the Adam update in the step's epilogue). Train-step A/B on
+# v5e b128 (bench_train.py): see BENCHMARKS.md round-4 section.
+ENC_BWD_MODE = _os.environ.get("NPE_ENC_BWD", "phased")
+
+
+def _conv2d_k5s2p2(x, w):
+    return conv2d(x, w, stride=2, padding=2)
+
+
+def _enc_fwd(x, w):
+    return _conv2d_k5s2p2(x, w), (x, w)
+
+
+def _enc_bwd(res, ct):
+    x, w = res
+    dx = deconv2d_phased(ct, jnp.transpose(w, (0, 1, 3, 2)))
+    _, wvjp = jax.vjp(lambda w_: conv2d(x, w_, stride=2, padding=2), w)
+    (dw,) = wvjp(ct)
+    return dx, dw
+
+
+conv2d_enc = jax.custom_vjp(_conv2d_k5s2p2)
+conv2d_enc.defvjp(_enc_fwd, _enc_bwd)
+
+
+def enc_conv2d(x, w, b=None):
+    """Stride-2 pad-2 5x5 conv with the phased input-gradient (see above).
+    `NPE_ENC_BWD=default` restores XLA's derived gradient for A/B."""
+    y = conv2d_enc(x, w) if ENC_BWD_MODE == "phased" else _conv2d_k5s2p2(x, w)
     if b is not None:
         y = y + b
     return y

@@ -124,3 +124,27 @@ def test_pooling():
     np.testing.assert_allclose(np.asarray(avg_pool(x, 2, 2)), 1.0)
     assert global_avg_pool(x).shape == (2, 3)
     assert upscale2d(x, 2).shape == (2, 16, 16, 3)
+
+
+def test_enc_conv2d_custom_vjp_matches_default():
+    """enc_conv2d's phased input-grad and delegated weight-grad must equal
+    XLA's derived gradients of the plain stride-2 pad-2 conv (the custom VJP
+    only restructures the computation; see ops/conv.py ENC_BWD commentary)."""
+    from npe_tpu.ops.conv import enc_conv2d
+
+    key = jax.random.PRNGKey(3)
+    kx, kw, kc = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (2, 16, 16, 6))
+    w = jax.random.normal(kw, (5, 5, 6, 10)) * 0.1
+    ct = jax.random.normal(kc, (2, 8, 8, 10))
+
+    def ref(x_, w_):
+        return conv2d(x_, w_, stride=2, padding=2)
+
+    y_ref, vjp_ref = jax.vjp(ref, x, w)
+    y_new, vjp_new = jax.vjp(lambda x_, w_: enc_conv2d(x_, w_), x, w)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    dx_ref, dw_ref = vjp_ref(ct)
+    dx_new, dw_new = vjp_new(ct)
+    np.testing.assert_allclose(np.asarray(dx_new), np.asarray(dx_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_new), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
