@@ -26,6 +26,13 @@ def main():
     p.add_argument("--pairs", type=int, default=4)
     p.add_argument("--compute-dtype", default=None)
     p.add_argument("--out", default="/tmp/train_prof")
+    p.add_argument(
+        "--dump-hlo",
+        action="store_true",
+        help="also write the optimized backend HLO text (fusion names in the "
+        "xplane trace resolve to fused computations whose instruction metadata "
+        "carries the originating Python source lines)",
+    )
     a = p.parse_args()
 
     from npe_tpu.models import get_config
@@ -55,13 +62,23 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (a.batch, 64, 64, 3), jnp.float32) * 0.5
     z = jax.random.normal(jax.random.PRNGKey(2), (a.batch, cfg["num_latents"]))
 
-    print("compiling...", flush=True)
-    state, s = chained(state, x, z, jax.random.PRNGKey(10))
+    call = chained
+    if a.dump_hlo:
+        os.makedirs(a.out, exist_ok=True)
+        print("compiling (explicit lower for the HLO dump)...", flush=True)
+        call = chained.lower(state, x, z, jax.random.PRNGKey(10)).compile()
+        hlo_path = os.path.join(a.out, "optimized.hlo.txt")
+        with open(hlo_path, "w") as f:
+            f.write(call.as_text())
+        print("wrote", hlo_path, flush=True)
+    else:
+        print("compiling...", flush=True)
+    state, s = call(state, x, z, jax.random.PRNGKey(10))
     print("warmup checksum", float(s), flush=True)
 
     t0 = time.perf_counter()
     jax.profiler.start_trace(a.out)
-    state, s = chained(state, x, z, jax.random.PRNGKey(11))
+    state, s = call(state, x, z, jax.random.PRNGKey(11))
     cs = float(s)
     jax.profiler.stop_trace()
     dt = time.perf_counter() - t0
