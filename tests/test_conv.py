@@ -148,3 +148,30 @@ def test_enc_conv2d_custom_vjp_matches_default():
     dx_new, dw_new = vjp_new(ct)
     np.testing.assert_allclose(np.asarray(dx_new), np.asarray(dx_ref), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw_new), np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_enc_conv2d_custom_vjp_bf16():
+    """Mixed-precision training feeds the custom VJP bf16 primals and
+    cotangents (cfg['compute_dtype']='bfloat16'); the phased backward must
+    stay dtype-stable (bf16 in -> bf16 grads out) and agree with XLA's
+    derived gradient at bf16 resolution."""
+    from npe_tpu.ops.conv import enc_conv2d
+
+    key = jax.random.PRNGKey(7)
+    kx, kw, kc = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (2, 16, 16, 6)).astype(jnp.bfloat16)
+    w = (jax.random.normal(kw, (5, 5, 6, 10)) * 0.1).astype(jnp.bfloat16)
+    ct = jax.random.normal(kc, (2, 8, 8, 10)).astype(jnp.bfloat16)
+
+    y_ref, vjp_ref = jax.vjp(lambda x_, w_: conv2d(x_, w_, stride=2, padding=2), x, w)
+    y_new, vjp_new = jax.vjp(lambda x_, w_: enc_conv2d(x_, w_), x, w)
+    assert y_new.dtype == jnp.bfloat16
+    dx_ref, dw_ref = vjp_ref(ct)
+    dx_new, dw_new = vjp_new(ct)
+    assert dx_new.dtype == jnp.bfloat16 and dw_new.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(dx_new, np.float32), np.asarray(dx_ref, np.float32), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(dw_new, np.float32), np.asarray(dw_ref, np.float32), rtol=0.05, atol=0.25
+    )
