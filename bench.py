@@ -35,6 +35,7 @@ FLOPS_PER_IMG = {
     "IAN": 8.071e9,
     "IANv1": 2.993e9,
     "IAN_simple_train": 13.02e9,  # mean of gen (11.98) / discrim (14.06) steps, b128
+    "IAN_train": 39.62e9,  # mean of gen (47.45) / discrim (31.82); ~batch-independent (b16 vs b64 within 0.4%)
 }
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None):
+def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, lr=2e-4):
     from npe_tpu.models import get_config
     from npe_tpu.training import train_step as TS
 
@@ -35,7 +35,11 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None):
     # Un-donated step closures; they trace-inline into the scanned program
     # (donation happens at the outer jit instead).
     gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=False)
-    lr = 2e-4
+    # lr is a runtime scalar (no recompile). The default matches the faithful
+    # recipes; benching a model that DIVERGES on this bench's random-noise
+    # data (full IAN's Beta NLL saturates after ~10^2 noise steps at b16)
+    # needs a small --lr: per-step compute/memory traffic is identical, the
+    # parameters just stop walking off a numerical cliff mid-measurement.
 
     @functools.partial(jax.jit, donate_argnums=0)
     def chained(state, x, z, key):
@@ -112,6 +116,7 @@ def main():
         default=None,
         help="mixed-precision compute dtype (e.g. bfloat16); master weights stay f32",
     )
+    p.add_argument("--lr", type=float, default=2e-4, help="see run(): timing-identical runtime scalar")
     a = p.parse_args()
     print(
         json.dumps(
@@ -121,6 +126,7 @@ def main():
                 pairs=a.pairs,
                 rounds=a.rounds,
                 compute_dtype=a.compute_dtype,
+                lr=a.lr,
             )
         )
     )
