@@ -52,7 +52,10 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
         state, pl = jax.lax.scan(body, state, jnp.arange(pairs))
         return state, jnp.sum(pl)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32) * 0.5
+    # tanh keeps the fake images strictly inside (-1, 1): full IAN's RGB-Beta
+    # NLL takes log((x+1)/2) of the TARGET, which is non-finite for any pixel
+    # outside the valid tanh range (raw randn*0.5 exceeds it ~5% of the time).
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32) * 0.5)
     z = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg["num_latents"]))
 
     state, s = chained(state, x, z, jax.random.PRNGKey(10))

@@ -59,7 +59,8 @@ def main():
         state, pl = jax.lax.scan(body, state, jnp.arange(a.pairs))
         return state, jnp.sum(pl)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (a.batch, 64, 64, 3), jnp.float32) * 0.5
+    # strictly inside (-1, 1) -- full IAN's Beta NLL is non-finite otherwise
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(1), (a.batch, 64, 64, 3), jnp.float32) * 0.5)
     z = jax.random.normal(jax.random.PRNGKey(2), (a.batch, cfg["num_latents"]))
 
     call = chained
