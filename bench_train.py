@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 
-def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, lr=2e-4):
+def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, lr=2e-4,
+        moments_dtype=None):
     from npe_tpu.models import get_config
     from npe_tpu.training import train_step as TS
 
@@ -30,6 +31,8 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
     cfg["batch_size"] = batch
     if compute_dtype:
         cfg["compute_dtype"] = compute_dtype
+    if moments_dtype:
+        cfg["moments_dtype"] = moments_dtype
     variables = module.init(jax.random.PRNGKey(0))
     state = TS.init_train_state(module, variables, cfg)
     # Un-donated step closures; they trace-inline into the scanned program
@@ -94,10 +97,12 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
         mfu_val = None
     return {
         "metric": f"{model.lower()}_train_step_throughput"
-        + (f"_{compute_dtype}" if compute_dtype else ""),
+        + (f"_{compute_dtype}" if compute_dtype else "")
+        + ("_bf16moments" if moments_dtype else ""),
         "value": round(imgs_per_sec, 1),
         "unit": "imgs/sec/chip",
         "compute_dtype": compute_dtype or "float32",
+        "moments_dtype": moments_dtype or "float32",
         "batch": batch,
         "ms_per_step": round(dt / n_steps * 1e3, 3),
         "spread_frac": round((times[-1] - times[0]) / dt, 3),
@@ -120,6 +125,11 @@ def main():
         help="mixed-precision compute dtype (e.g. bfloat16); master weights stay f32",
     )
     p.add_argument("--lr", type=float, default=2e-4, help="see run(): timing-identical runtime scalar")
+    p.add_argument(
+        "--moments-dtype",
+        default=None,
+        help="Adam m/v storage dtype (e.g. bfloat16); update math stays f32",
+    )
     a = p.parse_args()
     print(
         json.dumps(
@@ -130,6 +140,7 @@ def main():
                 rounds=a.rounds,
                 compute_dtype=a.compute_dtype,
                 lr=a.lr,
+                moments_dtype=a.moments_dtype,
             )
         )
     )

@@ -16,8 +16,9 @@ from npe_tpu.ops.linear import dense
 from npe_tpu.ops.made import iaf_transform, made_apply, made_init
 from npe_tpu.ops.sampling import gaussian_sample
 
-lr_schedule = {0: 0.0002}
-# Hyperparameters per reference `IANv1.py:39-61`.
+lr_schedule = {0: 0.0002, 25: 0.0001, 50: 0.00005, 75: 0.00001}
+# Hyperparameters per reference `IANv1.py:38-61` (lr drops at 25/50/75,
+# same schedule as IAN's, `IANv1.py:38`).
 cfg = {
     "model": "IANv1",
     "batch_size": 16,

@@ -531,6 +531,14 @@ def main():
         "master weights and optimizer stay float32",
     )
     p.add_argument(
+        "--moments-dtype",
+        default=None,
+        help="storage dtype for the Adam m/v moments (e.g. bfloat16); the "
+        "update arithmetic stays float32. Off (float32 moments) for the "
+        "faithful recipes; train states carrying low-precision moments are "
+        "checkpoint format_version 1 (utils/checkpoints.py)",
+    )
+    p.add_argument(
         "--state-every",
         type=int,
         default=1,
@@ -561,6 +569,8 @@ def main():
         overrides["checkpoint_every_nth"] = a.checkpoint_every
     if a.compute_dtype:
         overrides["compute_dtype"] = a.compute_dtype
+    if a.moments_dtype:
+        overrides["moments_dtype"] = a.moments_dtype
     mesh = None
     if a.data_parallel:
         from npe_tpu.parallel.mesh import make_mesh

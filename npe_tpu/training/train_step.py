@@ -22,13 +22,61 @@ ADAM_B2 = 0.999
 ADAM_EPS = 1e-8
 
 
-def make_optimizer(beta1):
+def _scale_by_adam_lp(b1, b2, eps, moments_dtype):
+    """Adam scaling with the m/v moments STORED in a lower-precision dtype
+    (opt-in via cfg['moments_dtype'], e.g. 'bfloat16'). The decay/bias-
+    correction arithmetic runs in float32 every step (storage casts at the
+    boundaries only), so the sole deviation from optax's scale_by_adam is
+    the rounding of m and v to the storage dtype between steps.
+
+    Why: the Adam update is HBM-bandwidth-bound on TPU (BENCHMARKS.md
+    round-4 accounting: m/v/p traffic at the roofline, 8.5% of the train
+    step); bf16 moments halve two of the three streams. The faithful
+    recipes stay on f32 moments by default -- this is a deployment knob
+    behind the versioned checkpoint ABI (utils/checkpoints.py).
+    """
+    dt = jnp.dtype(moments_dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dt)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        f32 = jnp.float32
+        mu32 = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(f32) + (1 - b1) * g.astype(f32), state.mu, updates
+        )
+        nu32 = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(f32) + (1 - b2) * jnp.square(g.astype(f32)),
+            state.nu,
+            updates,
+        )
+        bc1 = 1 - b1**count.astype(f32)
+        bc2 = 1 - b2**count.astype(f32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32
+        )
+        store = lambda t: jax.tree_util.tree_map(lambda a: a.astype(dt), t)
+        return out, optax.ScaleByAdamState(count=count, mu=store(mu32), nu=store(nu32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(beta1, moments_dtype=None):
+    if moments_dtype:
+        return _scale_by_adam_lp(beta1, ADAM_B2, ADAM_EPS, moments_dtype)
     return optax.scale_by_adam(b1=beta1, b2=ADAM_B2, eps=ADAM_EPS)
 
 
 def init_train_state(module, variables, cfg):
     parts = L.partition_variables(variables)
-    opt = make_optimizer(cfg["beta1"])
+    opt = make_optimizer(cfg["beta1"], cfg.get("moments_dtype"))
     return {
         "parts": parts,
         "opt": {
@@ -49,7 +97,7 @@ def _apply(opt, grads, opt_state, params, lr):
 def make_train_steps(module, cfg, donate=True):
     """Returns (gen_step, discrim_step), both jitted:
     state, x, z_rand, rng, lr -> (state, metrics)."""
-    opt = make_optimizer(cfg["beta1"])
+    opt = make_optimizer(cfg["beta1"], cfg.get("moments_dtype"))
     n_classes = module.N_DISCRIM_CLASSES
 
     def gen_step(state, x, z_rand, rng, lr):

@@ -23,6 +23,27 @@ MASK_SUFFIX = ".weights_mask"
 METADATA_KEY = "__metadata__"
 DIRECT_MASK_SUFFIX = "_output_D" + MASK_SUFFIX
 
+# Checkpoint ABI version, stored as metadata['format_version'] in both
+# weight files and train-state files. History:
+#   v0  -- unversioned: the reference's layout (`GANcheckpoints.py:11-57`)
+#          and every npe_tpu file written before versioning existed. Read
+#          natively (the v0 layout IS the v1 layout minus the version key).
+#   v1  -- identical array layout; adds the version stamp, and train states
+#          may carry low-precision Adam moments (cfg['moments_dtype'],
+#          train_step._scale_by_adam_lp) -- dtype rides in each npz array
+#          header, so v1 readers need no special casing.
+FORMAT_VERSION = 1
+
+
+def _check_version(metadata, fname):
+    ver = (metadata or {}).get("format_version", 0)
+    if ver > FORMAT_VERSION:
+        raise ValueError(
+            f"{fname} has checkpoint format_version {ver}, newer than this "
+            f"build's {FORMAT_VERSION}; upgrade npe_tpu to read it"
+        )
+    return metadata
+
 
 def made_orderings_of(variables):
     """Recover each MADE net's latent ordering from its direct-input (DIML)
@@ -92,12 +113,12 @@ def save_weights(fname, variables, metadata=None, include_masks=False, compress=
         for k, v in variables.items()
         if include_masks or not k.endswith(MASK_SUFFIX)
     }
+    metadata = dict(metadata or {})
+    metadata.setdefault("format_version", FORMAT_VERSION)
     orderings = made_orderings_of(variables)
     if orderings:
-        metadata = dict(metadata or {})
         metadata.setdefault("made_orderings", orderings)
-    if metadata is not None:
-        arrays[METADATA_KEY] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
+    arrays[METADATA_KEY] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
     tmp = _unique_tmp(fname)
     try:
         with open(tmp, "wb") as f:
@@ -119,6 +140,7 @@ def load_weights(fname, variables):
         stored = {k: f[k] for k in f.files}
     if METADATA_KEY in stored:
         metadata = pickle.loads(stored.pop(METADATA_KEY).tobytes())
+    _check_version(metadata, fname)
     restore_made_masks(variables, metadata)
     for name in variables:
         if name.endswith(MASK_SUFFIX) and name not in stored:
@@ -159,8 +181,15 @@ def save_train_state(fname, state, metadata=None):
     flat, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
     arrays["__treedef__"] = np.frombuffer(pickle.dumps(treedef), dtype=np.uint8)
-    if metadata is not None:
-        arrays["__metadata__"] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
+    metadata = dict(metadata or {})
+    metadata.setdefault("format_version", FORMAT_VERSION)
+    # numpy's npz format stores non-native dtypes (bfloat16 Adam moments,
+    # cfg['moments_dtype']) as opaque void bytes -- record each leaf's true
+    # dtype so load_train_state can view them back.
+    metadata.setdefault(
+        "leaf_dtypes", {k: str(v.dtype) for k, v in arrays.items() if k.startswith("leaf_")}
+    )
+    arrays["__metadata__"] = np.frombuffer(pickle.dumps(metadata), dtype=np.uint8)
     tmp = _unique_tmp(fname)
     try:
         with open(tmp, "wb") as f:
@@ -179,9 +208,23 @@ def load_train_state(fname):
 
     with np.load(fname, allow_pickle=False) as f:
         stored = {k: f[k] for k in f.files}
-    stored.pop("__metadata__", None)
+    meta_raw = stored.pop("__metadata__", None)
+    leaf_dtypes = {}
+    if meta_raw is not None:
+        meta = _check_version(pickle.loads(meta_raw.tobytes()), fname)
+        leaf_dtypes = (meta or {}).get("leaf_dtypes", {})
     treedef = pickle.loads(stored.pop("__treedef__").tobytes())
-    flat = [stored[f"leaf_{i}"] for i in range(len(stored))]
+
+    def fix_dtype(name, arr):
+        want = leaf_dtypes.get(name)
+        if want and arr.dtype.kind == "V":  # npz stored a non-native dtype as raw bytes
+            import ml_dtypes  # registered extended dtypes (bfloat16, ...)
+
+            del ml_dtypes
+            return arr.view(np.dtype(want))
+        return arr
+
+    flat = [fix_dtype(f"leaf_{i}", stored[f"leaf_{i}"]) for i in range(len(stored))]
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 
@@ -191,7 +234,9 @@ def train_state_metadata(fname):
     with np.load(fname, allow_pickle=False) as f:
         if "__metadata__" not in f.files:
             return {}
-        return pickle.loads(f["__metadata__"].tobytes())
+        meta = pickle.loads(f["__metadata__"].tobytes())
+    meta.pop("leaf_dtypes", None)  # internal (see save_train_state)
+    return meta
 
 
 # --- orbax backend (optional) --------------------------------------------

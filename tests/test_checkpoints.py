@@ -61,9 +61,51 @@ def test_train_state_metadata_roundtrip(tmp_path):
     meta = train_state_metadata(f)
     assert meta["epoch"] == 7 and meta["learning_rate"] == 1e-4
     np.testing.assert_array_equal(load_train_state(f)["w"], 1)
-    # files without metadata read back as {}
+    # caller-less saves still stamp the ABI version (and nothing else)
     save_train_state(f, state)
-    assert train_state_metadata(f) == {}
+    from npe_tpu.utils.checkpoints import FORMAT_VERSION
+
+    assert train_state_metadata(f) == {"format_version": FORMAT_VERSION}
+
+
+def test_format_version_stamped_and_v0_reads(tmp_path):
+    """Every new file carries format_version; legacy v0 files (reference
+    `GANcheckpoints.py` layout / pre-versioning npe_tpu files, i.e. no
+    version key -- possibly no metadata at all) still load; files from a
+    NEWER format refuse with a clear error."""
+    import pickle
+
+    import pytest
+
+    from npe_tpu.utils.checkpoints import FORMAT_VERSION, train_state_metadata
+
+    f = str(tmp_path / "w.npz")
+    v = {"a.W": np.ones(2, np.float32)}
+    save_weights(f, v)
+    assert load_weights(f, dict(v)).get("format_version") == FORMAT_VERSION
+
+    # v0 weights: raw reference-style npz, no metadata member at all
+    f0 = str(tmp_path / "v0.npz")
+    np.savez(f0, **{"a.W": np.full(2, 3.0, np.float32)})
+    v2 = {"a.W": np.zeros(2, np.float32)}
+    assert load_weights(f0, v2) == {}
+    np.testing.assert_array_equal(v2["a.W"], 3.0)
+
+    # v0 train state: metadata without a version key
+    fs = str(tmp_path / "s0.npz")
+    save_train_state(fs, {"w": np.ones(3)}, metadata={"epoch": 2, "format_version": 0})
+    assert train_state_metadata(fs)["format_version"] == 0
+    np.testing.assert_array_equal(load_train_state(fs)["w"], 1)
+
+    # future-version files refuse loudly
+    fnew = str(tmp_path / "future.npz")
+    arrays = {"a.W": np.ones(2, np.float32)}
+    arrays["__metadata__"] = np.frombuffer(
+        pickle.dumps({"format_version": FORMAT_VERSION + 1}), dtype=np.uint8
+    )
+    np.savez(fnew, **arrays)
+    with pytest.raises(ValueError, match="format_version"):
+        load_weights(fnew, {"a.W": np.zeros(2, np.float32)})
 
 
 def test_orbax_backend_roundtrip(tmp_path):

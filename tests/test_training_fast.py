@@ -269,3 +269,67 @@ def test_adaptive_ratio_train_integration(tmp_path):
     for r in chunk_recs:
         for v in r["metrics"].values():
             assert np.isfinite(v)
+
+
+def test_bf16_adam_moments_trajectory_and_roundtrip(tmp_path):
+    """Opt-in bf16 Adam moments (cfg['moments_dtype'], versioned-ABI knob):
+    the m/v state is stored bf16, the first step is exactly the f32 step
+    (zero moments round-trip exactly), a short trajectory stays within a
+    small relative bound of the f32-moments trajectory, and the state
+    round-trips through the train-state checkpoint with dtypes intact."""
+    from npe_tpu.utils.checkpoints import load_train_state, save_train_state
+
+    m = get_config(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3)) * 0.5
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, m.cfg["num_latents"]))
+
+    def run(moments_dtype, pairs):
+        cfg = dict(m.cfg)
+        if moments_dtype:
+            cfg["moments_dtype"] = moments_dtype
+        v = m.init(jax.random.PRNGKey(0))
+        state = TS.init_train_state(m, v, cfg)
+        gen_step, discrim_step = TS.make_train_steps(m, cfg, donate=False)
+        for i in range(pairs):
+            k = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            state, _ = gen_step(state, x, z, k, 2e-4)
+            state, _ = discrim_step(state, x, z, jax.random.fold_in(k, 1), 2e-4)
+        return state
+
+    s32 = run(None, 1)
+    s16 = run("bfloat16", 1)
+    mu16 = jax.tree_util.tree_leaves(s16["opt"]["gen"])
+    assert any(a.dtype == jnp.bfloat16 for a in mu16 if hasattr(a, "dtype"))
+    # First G+D pair: moments start at zero (exact in bf16), so the Adam
+    # direction m_hat/sqrt(v_hat) is sign(g)-like and dtype-insensitive --
+    # params after one pair agree tightly.
+    for part in ("gen", "latent", "discrim"):
+        for k in s32["parts"][part]:
+            a, b = np.asarray(s32["parts"][part][k]), np.asarray(s16["parts"][part][k])
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-6, err_msg=k)
+
+    s32 = run(None, 10)
+    s16 = run("bfloat16", 10)
+    # Trajectory equivalence bound after 10 G+D pairs (= 20 Adam steps of
+    # size <= ~lr each, since |m_hat/sqrt(v_hat)| ~ 1): the bf16 rounding of
+    # m/v perturbs each step by O(2^-8) relative and the adversarial
+    # dynamics amplify it, but the accumulated divergence must stay a small
+    # fraction of the worst-case path length n_steps * lr. (A per-tensor
+    # net-movement denominator is too strict: oscillating tensors like late
+    # BN betas travel far while moving little.)
+    n_steps, lr = 20, 2e-4
+    for part in ("gen", "latent", "discrim"):
+        for k in s32["parts"][part]:
+            a, b = np.asarray(s32["parts"][part][k]), np.asarray(s16["parts"][part][k])
+            rms = float(np.sqrt(np.mean((a - b) ** 2)))
+            assert rms <= 0.25 * n_steps * lr, (k, rms)
+
+    f = str(tmp_path / "state16.npz")
+    save_train_state(f, s16)
+    out = load_train_state(f)
+    lv16 = jax.tree_util.tree_leaves(out["opt"])
+    assert any(np.asarray(a).dtype == jnp.bfloat16 for a in lv16)
+    for k in s16["parts"]["gen"]:
+        np.testing.assert_array_equal(
+            np.asarray(out["parts"]["gen"][k]), np.asarray(s16["parts"]["gen"][k])
+        )
