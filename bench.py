@@ -187,6 +187,22 @@ def main():
         rounds=3,
         compute_dtype="bfloat16",
     )
+    # bf16 Adam moments (cfg['moments_dtype'], versioned-ABI knob): the
+    # measured step delta vs the f32-moments row above.
+    grab(
+        bench_train.run,
+        model="IAN_simple",
+        batch=128,
+        pairs=10,
+        rounds=3,
+        moments_dtype="bfloat16",
+    )
+    # Full-width IAN at its faithful batch (`IAN.py:40`). lr=0 pins params at
+    # init: per-step compute/memory is lr-independent (Adam's full update
+    # still runs), and any lr>0 walks this bench's noise inputs into the
+    # randomized-IAF exp overflow within a few hundred pairs -- mechanism
+    # pinned in docs/NUMERICS.md; the real 80-epoch recipe trains fine.
+    grab(bench_train.run, model="IAN", batch=16, pairs=25, rounds=3, lr=0.0)
 
     _emit({**primary, "chip_probe_s": probe_s, "extra": extra})
 

@@ -38,11 +38,16 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
     # Un-donated step closures; they trace-inline into the scanned program
     # (donation happens at the outer jit instead).
     gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=False)
-    # lr is a runtime scalar (no recompile). The default matches the faithful
-    # recipes; benching a model that DIVERGES on this bench's random-noise
-    # data (full IAN's Beta NLL saturates after ~10^2 noise steps at b16)
-    # needs a small --lr: per-step compute/memory traffic is identical, the
-    # parameters just stop walking off a numerical cliff mid-measurement.
+    # lr is a runtime scalar (no recompile; per-step compute/memory traffic
+    # is lr-independent -- Adam's full update runs either way). The default
+    # matches the faithful recipes. Full IAN on this bench's noise inputs
+    # goes non-finite at ANY lr>0 after a few hundred pairs: training drifts
+    # ls_bnorm's scale up until a tail eps draw sends the sampled latent
+    # through the frozen IAF's exp-division past f32 range (mechanism pinned
+    # in docs/NUMERICS.md + tests/test_numerics.py; the reference graph
+    # computes the identical chain). --lr 0 pins the parameters at init,
+    # where the tail is provably out of reach, and measures the exact same
+    # program.
 
     @functools.partial(jax.jit, donate_argnums=0)
     def chained(state, x, z, key):
@@ -55,9 +60,8 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
         state, pl = jax.lax.scan(body, state, jnp.arange(pairs))
         return state, jnp.sum(pl)
 
-    # tanh keeps the fake images strictly inside (-1, 1): full IAN's RGB-Beta
-    # NLL takes log((x+1)/2) of the TARGET, which is non-finite for any pixel
-    # outside the valid tanh range (raw randn*0.5 exceeds it ~5% of the time).
+    # tanh keeps the fake images strictly inside (-1, 1), the range real
+    # data occupies (`to_tanh`, reference `train_IAN.py:35-40`).
     x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32) * 0.5)
     z = jax.random.normal(jax.random.PRNGKey(2), (batch, cfg["num_latents"]))
 
@@ -108,6 +112,10 @@ def run(model="IAN_simple", batch=128, pairs=15, rounds=5, compute_dtype=None, l
         "spread_frac": round((times[-1] - times[0]) / dt, 3),
         "round_times_s": [round(t, 3) for t in times],
         "discarded_round_times_s": [round(t, 3) for t in discarded],
+        # The settle loop keeps rounds within 1.3x of the fastest, which
+        # best-case-biases the median under PERSISTENT contention -- flag it
+        # so downstream numbers aren't taken at face value.
+        "contended": len(discarded) >= len(times),
         "rounds": len(times),
         "mfu": mfu_val,
     }

@@ -219,8 +219,22 @@ conv2d_enc.defvjp(_enc_fwd, _enc_bwd)
 
 def enc_conv2d(x, w, b=None):
     """Stride-2 pad-2 5x5 conv with the phased input-gradient (see above).
-    `NPE_ENC_BWD=default` restores XLA's derived gradient for A/B."""
-    y = conv2d_enc(x, w) if ENC_BWD_MODE == "phased" else _conv2d_k5s2p2(x, w)
+    `NPE_ENC_BWD=default` restores XLA's derived gradient for A/B.
+
+    Contract: k=5/s=2/p=2 with EVEN input H/W (every tower size is a power
+    of two, 64 down to 8) -- the phased backward reconstructs dx at exactly
+    2x the cotangent's spatial size, which is the forward input only when
+    H and W are even. The custom_vjp also means no forward-mode AD
+    (jvp/jacfwd) through these convs; nothing in-tree uses it."""
+    if ENC_BWD_MODE == "phased":
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, (
+            f"enc_conv2d phased backward requires even spatial dims, got "
+            f"{x.shape}; use conv2d(..., stride=2, padding=2) or "
+            f"NPE_ENC_BWD=default for odd sizes"
+        )
+        y = conv2d_enc(x, w)
+    else:
+        y = _conv2d_k5s2p2(x, w)
     if b is not None:
         y = y + b
     return y

@@ -44,10 +44,16 @@ def make_mesh(shape=None, devices=None):
 # Parameters worth sharding over the model axis: (name predicate, axis).
 def param_spec(name, value):
     """PartitionSpec for a variable, by name/shape. Output-feature axis of
-    the big tensors goes to 'model'; everything else is replicated."""
+    the big tensors goes to 'model'; everything else is replicated.
+
+    The 4-D rule matches both plain conv/deconv kernels ('enc_conv4.W',
+    'dec_conv1.W') and MDCL base filters ('dec_conv2aW', 'RW' -- Lasagne
+    names without the dot, reference `layers.py:218`); their per-scale
+    coefficient vectors stay replicated, which GSPMD broadcasts into the
+    sharded compose elementwise."""
     shape = np.shape(value)
-    if name.endswith(".W") and len(shape) == 4 and shape[3] >= 512:
-        return P(None, None, None, "model")  # conv/deconv HWIO out-channels
+    if name.endswith("W") and len(shape) == 4 and shape[3] >= 512:
+        return P(None, None, None, "model")  # conv/deconv/MDCL HWIO out-channels
     if name.endswith(".W") and len(shape) == 2 and shape[1] >= 4096:
         return P(None, "model")  # wide dense (l_dec_fc2, enc_fc1 is 1000-out)
     if name.endswith("minibatch_discrim.theta"):
@@ -69,10 +75,7 @@ def shard_train_state(state, mesh):
         pname: shard_variables(pvars, mesh) for pname, pvars in state["parts"].items()
     }
 
-    def shard_opt(opt_state, params):
-        def put(leaf):
-            return leaf
-
+    def shard_opt(opt_state):
         # scale_by_adam state: (ScaleByAdamState(count, mu, nu),) pytrees with
         # mu/nu dicts matching params -- shard them with the same rule.
         def shard_like(tree):
@@ -89,7 +92,7 @@ def shard_train_state(state, mesh):
             is_leaf=lambda t: isinstance(t, dict),
         )
 
-    opt = {k: shard_opt(v, state["parts"].get(k)) for k, v in state["opt"].items()}
+    opt = {k: shard_opt(v) for k, v in state["opt"].items()}
     step = jax.device_put(state["step"], NamedSharding(mesh, P()))
     return {"parts": parts, "opt": opt, "step": step}
 

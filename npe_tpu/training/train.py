@@ -59,7 +59,12 @@ class AdaptiveRatioGuard:
 
     def should_gen(self, itr):
         """True if step `itr` should train G (either by the faithful
-        alternation or because the guard is skipping a saturated D)."""
+        alternation or because the guard is skipping a saturated D).
+
+        CONTRACT: call exactly once per training step -- a skip decision
+        decays the EMA as a side effect (that decay is what bounds the skip
+        streak), so a second call for the same `itr` (e.g. from a logging
+        path) would double-decay and change the G/D schedule."""
         if itr % self.period == 0:
             return True
         if self.ema > self.threshold:
@@ -539,6 +544,13 @@ def main():
         "checkpoint format_version 1 (utils/checkpoints.py)",
     )
     p.add_argument(
+        "--skip-nonfinite-updates",
+        action="store_true",
+        help="drop any step whose gradients contain inf/NaN instead of "
+        "poisoning the parameters (docs/NUMERICS.md); off by default to "
+        "keep the faithful recipes exactly the reference's semantics",
+    )
+    p.add_argument(
         "--state-every",
         type=int,
         default=1,
@@ -571,6 +583,8 @@ def main():
         overrides["compute_dtype"] = a.compute_dtype
     if a.moments_dtype:
         overrides["moments_dtype"] = a.moments_dtype
+    if a.skip_nonfinite_updates:
+        overrides["skip_nonfinite_updates"] = True
     mesh = None
     if a.data_parallel:
         from npe_tpu.parallel.mesh import make_mesh

@@ -94,11 +94,34 @@ def _apply(opt, grads, opt_state, params, lr):
     return new_params, new_state
 
 
+def _grads_finite(*grad_trees):
+    leaves = [
+        jnp.all(jnp.isfinite(g))
+        for t in grad_trees
+        for g in jax.tree_util.tree_leaves(t)
+    ]
+    return jnp.stack(leaves).all() if leaves else jnp.array(True)
+
+
+def _guarded(ok, new, old):
+    """Select new vs old (params+opt) trees by the scalar `ok` flag."""
+    return jax.tree_util.tree_map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+
 def make_train_steps(module, cfg, donate=True):
     """Returns (gen_step, discrim_step), both jitted:
     state, x, z_rand, rng, lr -> (state, metrics)."""
     opt = make_optimizer(cfg["beta1"], cfg.get("moments_dtype"))
     n_classes = module.N_DISCRIM_CLASSES
+    # Optional non-finite-update guard (cfg['skip_nonfinite_updates'],
+    # default OFF to keep the faithful recipes exactly the reference's
+    # semantics): if any gradient in this step is inf/NaN, the whole update
+    # (params, Adam moments, BN running stats) is dropped and the step
+    # reports update_skipped=1. Motivation: the randomized-IAF tail-draw
+    # overflow (docs/NUMERICS.md) -- one bad eps draw otherwise poisons the
+    # parameters irrecoverably mid-run; with the guard it costs one skipped
+    # step. Static flag: when off, no select ops enter the compiled step.
+    guard = bool(cfg.get("skip_nonfinite_updates"))
 
     def gen_step(state, x, z_rand, rng, lr):
         parts = state["parts"]
@@ -114,6 +137,20 @@ def make_train_steps(module, cfg, donate=True):
         # BN running stats from the real-X pass, returned as aux by the loss.
         new_state_vars = {**parts["state"], **upd}
         metrics = compute_metrics(cfg, out, x, n_classes)
+        if guard:
+            ok = _grads_finite(g_gen, g_lat)
+            (new_gen, new_lat, opt_gen, opt_lat, new_state_vars) = _guarded(
+                ok,
+                (new_gen, new_lat, opt_gen, opt_lat, new_state_vars),
+                (
+                    parts["gen"],
+                    parts["latent"],
+                    state["opt"]["gen"],
+                    state["opt"]["latent"],
+                    parts["state"],
+                ),
+            )
+            metrics = {**metrics, "update_skipped": 1.0 - ok.astype(jnp.float32)}
         new = {
             "parts": {
                 "gen": new_gen,
@@ -168,6 +205,20 @@ def make_train_steps(module, cfg, donate=True):
         new_lat, opt_lat = _apply(opt, g_z, state["opt"]["latent"], parts["latent"], lr)
         new_state_vars = {**parts["state"], **upd}
         metrics = compute_metrics(cfg, out, x, n_classes)
+        if guard:
+            ok = _grads_finite(g_d, g_z)
+            (new_d, new_lat, opt_d, opt_lat, new_state_vars) = _guarded(
+                ok,
+                (new_d, new_lat, opt_d, opt_lat, new_state_vars),
+                (
+                    parts["discrim"],
+                    parts["latent"],
+                    state["opt"]["discrim"],
+                    state["opt"]["latent"],
+                    parts["state"],
+                ),
+            )
+            metrics = {**metrics, "update_skipped": 1.0 - ok.astype(jnp.float32)}
         new = {
             "parts": {
                 "gen": parts["gen"],

@@ -17,7 +17,11 @@ specific trained flow exactly, pass its `ordering` to `made_masks` -- the
 connectivity rule is deterministic given the ordering (ops/made.py).
 """
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 DECONV_NAMES = ("dec_conv1.W", "dec_conv2.W", "dec_conv3.W", "dec_conv4.W", "dec_out.W")
 FC1_SPATIAL = (1024, 4, 4)  # enc_conv4 output, NCHW
@@ -93,10 +97,29 @@ def convert_theano_npz(src_path, dst_path, metadata=None):
         raw = stored.pop("metadata")
         try:
             item = raw.item() if hasattr(raw, "item") else raw
-            meta = pickle.loads(item) if isinstance(item, bytes) else item
+            if isinstance(item, bytes):
+                # Genuine reference checkpoints were pickled under Python 2
+                # (cPickle of a dict holding np.float32, `train_IAN.py:571`);
+                # py2 numpy pickles need encoding='latin1' to unpickle on
+                # py3 (the default ASCII codec raises on them). latin1 also
+                # decodes py3 pickles of plain dicts fine.
+                meta = pickle.loads(item, encoding="latin1")
+            else:
+                meta = item
             if not isinstance(meta, dict):
+                logger.warning(
+                    "%s: metadata unpickled to %s, not dict; dropping it",
+                    src_path,
+                    type(meta).__name__,
+                )
                 meta = {}
-        except Exception:
+        except Exception as e:
+            logger.warning(
+                "%s: could not unpickle reference metadata (%s); converting "
+                "without epoch/itr/learning_rate/made_orderings",
+                src_path,
+                e,
+            )
             meta = {}
     converted = {k: convert_param(k, v) for k, v in stored.items() if k != METADATA_KEY}
     save_weights(dst_path, converted, metadata or meta)

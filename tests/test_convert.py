@@ -119,3 +119,39 @@ def test_convert_npz_roundtrip(tmp_path):
     assert out["enc_conv1.b"].shape == (128,)
     with np.load(dst) as f:
         assert f["bnorm2.beta"].shape == (256,)
+
+
+def test_convert_py2_pickled_metadata(tmp_path):
+    """Genuine reference checkpoints carry metadata cPickled under Python 2
+    (`train_IAN.py:571` pickles np.float32 via py2 cPickle); such pickles
+    store raw byte-strings with SHORT_BINSTRING opcodes that py3's default
+    ASCII codec refuses. The converter must decode them (latin1) instead of
+    silently dropping epoch/itr/learning_rate/made_orderings."""
+    import pickle
+
+    from npe_tpu.utils.checkpoints import load_weights
+    from npe_tpu.utils.convert import convert_theano_npz
+
+    # Hand-assembled protocol-2 stream mimicking a py2 dict pickle:
+    # {'epoch': 5, 'payload': <4 raw bytes with a non-ascii \xb7>} where the
+    # value uses SHORT_BINSTRING (U) exactly as py2 pickles numpy scalar
+    # payloads -- py3 pickle.loads(...) without encoding='latin1' raises.
+    raw = (
+        b"\x80\x02}q\x00(X\x05\x00\x00\x00epochq\x01K\x05"
+        b"X\x07\x00\x00\x00payloadq\x02U\x04\x17\xb7Q9q\x03u."
+    )
+    try:
+        pickle.loads(raw)
+        raise AssertionError("expected the ASCII codec to refuse this stream")
+    except UnicodeDecodeError:
+        pass
+
+    src = str(tmp_path / "theano.npz")
+    np.savez(
+        src,
+        **{"enc_conv1.b": np.ones(4, np.float32), "metadata": np.asarray(raw)},
+    )
+    dst = str(tmp_path / "ours.npz")
+    convert_theano_npz(src, dst)
+    meta = load_weights(dst, {"enc_conv1.b": np.zeros(4, np.float32)})
+    assert meta["epoch"] == 5  # survived, not silently dropped
