@@ -48,7 +48,12 @@ class AdaptiveRatioGuard:
     latch the guard on forever. The decay bounds the skip streak: after a
     few skips the EMA re-crosses the threshold and the next scheduled D step
     probes the real accuracy, re-engaging immediately if D is still
-    saturated."""
+    saturated.
+
+    This class is the HOST-SIDE statement of the semantics (and the oracle
+    the tests check against); the production trainer runs the identical
+    decision on-device inside the chunk program (train_step.guard_schedule /
+    guard_ema_update threaded through the scan)."""
 
     def __init__(self, threshold, period, decay=0.9, chance=0.5):
         self.threshold = threshold
@@ -139,24 +144,26 @@ def train(
 
     variables = module.init(jax.random.PRNGKey(seed))
     state = TS.init_train_state(module, variables, cfg)
-    # The faithful alternation runs as ONE jitted program per chunk
+    # The alternation runs as ONE jitted program per chunk
     # (TS.make_chunk_step: scan over batches, on-device z_rand + metric
     # averaging) -- per-batch host dispatch through the axon tunnel measured
-    # 237 ms/step vs the same step's 19.6 ms inside a scan. The per-step
-    # host loop remains for the adaptive-ratio deviation, whose control flow
-    # is data-dependent on the host.
+    # 237 ms/step vs the same step's 19.6 ms inside a scan. The adaptive-
+    # ratio deviation (cfg['adaptive_ratio_acc'], docs/PARITY.md) runs
+    # INSIDE the same program: the guard's data-dependent G/D choice is a
+    # lax.cond predicate with the accuracy EMA threaded through the scan, so
+    # it costs nothing on the host (the old per-step host-loop guard cost
+    # ~12x the step time in tunnel RPCs).
     adaptive_acc = cfg.get("adaptive_ratio_acc")
-    if adaptive_acc is None:
-        # async_checkpoint holds a reference to the epoch-N state while the
-        # next chunk runs, so the step must NOT donate its state buffers
-        # (donation would delete them under the in-flight fetch).
-        chunk_step = TS.make_chunk_step(
-            module, cfg, cfg["batches_per_chunk"], donate=not async_checkpoint
-        )
-        gen_step = discrim_step = None
-    else:
-        chunk_step = None
-        gen_step, discrim_step = TS.make_train_steps(module, cfg, donate=not async_checkpoint)
+    # async_checkpoint holds a reference to the epoch-N state while the
+    # next chunk runs, so the step must NOT donate its state buffers
+    # (donation would delete them under the in-flight fetch).
+    chunk_step = TS.make_chunk_step(
+        module,
+        cfg,
+        cfg["batches_per_chunk"],
+        donate=not async_checkpoint,
+        guard_acc=adaptive_acc,
+    )
 
     itr = 0
     min_epoch = 0
@@ -216,12 +223,11 @@ def train(
         else None
     )
     update_ratio = cfg["update_ratio"]
-    # Optional deviation from the reference (documented in docs/PARITY.md):
-    # when the discriminator's running 3-way/binary accuracy exceeds
-    # `adaptive_ratio_acc`, its updates are skipped (the step trains G
-    # instead) until accuracy drops back -- the standard guard against D
-    # saturation. Off (None) by default = faithful alternation.
-    guard = AdaptiveRatioGuard(adaptive_acc, update_ratio + 1) if adaptive_acc else None
+    # Adaptive-ratio guard state: the accuracy EMA lives on-device between
+    # chunks (a traced scalar in/out of the chunk program). Like the host
+    # guard it starts at chance on every (re)start -- it is measurement
+    # state, not model state, and re-converges within ~10 D steps.
+    guard_ema = jnp.float32(TS.GUARD_CHANCE) if adaptive_acc else None
     checkpoint_count = 0
     rng = jax.random.PRNGKey(seed + 1)
     offset = True
@@ -316,46 +322,38 @@ def train(
             if profile_dir and epoch == min_epoch and iter_counter == 1:
                 jax.profiler.start_trace(profile_dir)
 
-            if chunk_step is not None:
-                assert num_batches == cfg["batches_per_chunk"], (
-                    num_batches,
-                    cfg["batches_per_chunk"],
-                )  # the chunk program is compiled for full chunks
+            assert num_batches == cfg["batches_per_chunk"], (
+                num_batches,
+                cfg["batches_per_chunk"],
+            )  # the chunk program is compiled for full chunks
+            if guard_ema is None:
                 state, rng, gen_m, dis_m, n_gen = chunk_step(state, x_dev, itr, rng, lr)
-                # one packed fetch for the ~17 scalar metrics (vs one
-                # high-latency RPC each)
-                gen_m, dis_m, n_gen = fetch.packed_device_get((gen_m, dis_m, n_gen))
-                n_gen = float(n_gen)
-                n_dis = num_batches - n_gen
-                metrics = OrderedDict()
-                for k in list(dict.fromkeys(GEN_KEYS + DISCRIM_KEYS)):
-                    if k in GEN_KEYS and k in DISCRIM_KEYS:
-                        metrics[k] = [
-                            (float(gen_m[k]) * n_gen + float(dis_m[k]) * n_dis) / num_batches
-                        ]
-                    elif k in GEN_KEYS:
-                        metrics[k] = [float(gen_m[k])] if n_gen else []
-                    else:
-                        metrics[k] = [float(dis_m[k])] if n_dis else []
-                itr += num_batches
             else:
-                metrics = OrderedDict((k, []) for k in GEN_KEYS + DISCRIM_KEYS)
-                for bi in range(num_batches):
-                    xb = jax.lax.dynamic_slice_in_dim(
-                        x_dev, bi * cfg["batch_size"], cfg["batch_size"]
-                    )
-                    rng, kz, ks = jax.random.split(rng, 3)
-                    z_rand = jax.random.normal(kz, (cfg["batch_size"], cfg["num_latents"]))
-                    if guard.should_gen(itr):
-                        state, m = gen_step(state, xb, z_rand, ks, lr)
-                        for k in GEN_KEYS:
-                            metrics[k].append(m[k])
-                    else:
-                        state, m = discrim_step(state, xb, z_rand, ks, lr)
-                        for k in DISCRIM_KEYS:
-                            metrics[k].append(m[k])
-                        guard.observe(m["discrim_acc"])
-                    itr += 1
+                state, rng, gen_m, dis_m, n_gen, guard_ema = chunk_step(
+                    state, x_dev, itr, rng, lr, guard_ema
+                )
+            # one packed fetch for the ~17 scalar metrics (vs one
+            # high-latency RPC each)
+            gen_m, dis_m, n_gen = fetch.packed_device_get((gen_m, dis_m, n_gen))
+            n_gen = float(n_gen)
+            n_dis = num_batches - n_gen
+            metrics = OrderedDict()
+            for k in list(dict.fromkeys(GEN_KEYS + DISCRIM_KEYS)):
+                if k in GEN_KEYS and k in DISCRIM_KEYS:
+                    metrics[k] = [
+                        (float(gen_m[k]) * n_gen + float(dis_m[k]) * n_dis) / num_batches
+                    ]
+                elif k in GEN_KEYS:
+                    metrics[k] = [float(gen_m[k])] if n_gen else []
+                else:
+                    metrics[k] = [float(dis_m[k])] if n_dis else []
+            if guard_ema is not None:
+                # D-slots the guard converted to G steps this chunk -- the
+                # faithful alternation schedules ceil(nb/period) G steps.
+                period = update_ratio + 1
+                scheduled_g = sum(1 for i in range(num_batches) if (itr + i) % period == 0)
+                metrics["d_steps_skipped"] = [n_gen - scheduled_g]
+            itr += num_batches
 
             if profile_dir and epoch == min_epoch and iter_counter == 1:
                 jax.profiler.stop_trace()
@@ -551,6 +549,15 @@ def main():
         "keep the faithful recipes exactly the reference's semantics",
     )
     p.add_argument(
+        "--adaptive-ratio-acc",
+        type=float,
+        default=None,
+        help="D-saturation guard threshold (documented deviation, "
+        "docs/PARITY.md): scheduled D steps train G instead while the "
+        "on-device discriminator-accuracy EMA exceeds this value; off "
+        "(faithful fixed alternation) by default",
+    )
+    p.add_argument(
         "--state-every",
         type=int,
         default=1,
@@ -585,6 +592,8 @@ def main():
         overrides["moments_dtype"] = a.moments_dtype
     if a.skip_nonfinite_updates:
         overrides["skip_nonfinite_updates"] = True
+    if a.adaptive_ratio_acc:
+        overrides["adaptive_ratio_acc"] = a.adaptive_ratio_acc
     mesh = None
     if a.data_parallel:
         from npe_tpu.parallel.mesh import make_mesh

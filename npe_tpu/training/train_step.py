@@ -239,7 +239,34 @@ def make_train_steps(module, cfg, donate=True):
     )
 
 
-def make_chunk_step(module, cfg, num_batches, donate=True):
+# AdaptiveRatioGuard constants (train.AdaptiveRatioGuard is the host-side
+# statement of the same semantics; tests assert the two agree step-for-step).
+GUARD_DECAY = 0.9
+GUARD_CHANCE = 0.5
+
+
+def guard_schedule(scheduled_gen, ema, threshold):
+    """Pure on-device restatement of `train.AdaptiveRatioGuard.should_gen`:
+    a step scheduled for D by the faithful alternation trains G instead when
+    the accuracy EMA exceeds `threshold`. Returns (is_gen, skip_d)."""
+    skip_d = jnp.logical_and(jnp.logical_not(scheduled_gen), ema > threshold)
+    return jnp.logical_or(scheduled_gen, skip_d), skip_d
+
+
+def guard_ema_update(ema, is_gen, skip_d, d_acc):
+    """Pure on-device restatement of the guard's EMA dynamics: a D step that
+    ran observes its accuracy; a skipped D slot decays toward chance (which
+    bounds the skip streak -- see AdaptiveRatioGuard); a scheduled G step
+    leaves the EMA untouched."""
+    observed = jnp.where(skip_d, GUARD_CHANCE, d_acc)
+    return jnp.where(
+        jnp.logical_and(is_gen, jnp.logical_not(skip_d)),
+        ema,
+        GUARD_DECAY * ema + (1 - GUARD_DECAY) * observed,
+    )
+
+
+def make_chunk_step(module, cfg, num_batches, donate=True, guard_acc=None):
     """ONE jitted program that runs a whole chunk: `lax.scan` over the
     chunk's batches, alternating G/D by `(itr0 + i) % (update_ratio + 1)`
     exactly like the host loop (reference `train_IAN.py:493-509`), with
@@ -250,33 +277,45 @@ def make_chunk_step(module, cfg, num_batches, donate=True):
     the 19.6 ms the same step achieves inside a scan (round-2 real-run
     metrics vs bench_train.py). One chunk = one dispatch + one small fetch.
 
-    Signature: chunk_step(state, x_chunk, itr0, rng, lr) ->
-        (state, rng_out, gen_metrics, discrim_metrics, gen_count)
+    Signature: chunk_step(state, x_chunk, itr0, rng, lr[, ema]) ->
+        (state, rng_out, gen_metrics, discrim_metrics, gen_count[, ema])
     where x_chunk is (num_batches * batch_size, 64, 64, 3) staged data and
     the metric dicts are already averaged over this chunk's G / D steps.
     The per-batch RNG derivation (split-chain) is IDENTICAL to the host
-    loop's, so a chunk program reproduces the per-step path bit-for-bit."""
+    loop's, so a chunk program reproduces the per-step path bit-for-bit.
+
+    guard_acc: when set (cfg['adaptive_ratio_acc'], the documented
+    D-saturation deviation, docs/PARITY.md), the AdaptiveRatioGuard's
+    decision runs ON-DEVICE as part of the scan: a scheduled D step whose
+    accuracy EMA exceeds the threshold trains G instead, and the EMA decays
+    toward chance while skipping (identical semantics to the host
+    `train.AdaptiveRatioGuard`, asserted by tests). The EMA is a traced
+    scalar threaded through the chunk signature -- the data-dependent G/D
+    choice costs nothing on the host, where the round-3 host-loop guard
+    cost ~12x the step time in tunnel RPCs."""
     gen_step, discrim_step = make_train_steps(module, cfg, donate=False)
     period = cfg["update_ratio"] + 1
     bs = cfg["batch_size"]
     zdim = cfg["num_latents"]
 
-    def chunk_step(state, x_chunk, itr0, rng, lr):
-        def body(carry, i):
-            state, rng = carry
-            xb = jax.lax.dynamic_slice_in_dim(x_chunk, i * bs, bs)
-            rng, kz, ks = jax.random.split(rng, 3)
-            z_rand = jax.random.normal(kz, (bs, zdim))
-            is_gen = ((itr0 + i) % period) == 0
-            state, m = jax.lax.cond(
-                is_gen,
-                lambda st: gen_step(st, xb, z_rand, ks, lr),
-                lambda st: discrim_step(st, xb, z_rand, ks, lr),
-                state,
-            )
-            return (state, rng), (m, is_gen)
+    def run_steps(state, ema, i, itr0, xb, z_rand, ks, lr):
+        scheduled_gen = ((itr0 + i) % period) == 0
+        if guard_acc is None:
+            is_gen = scheduled_gen
+            skip_d = jnp.array(False)
+        else:
+            is_gen, skip_d = guard_schedule(scheduled_gen, ema, guard_acc)
+        state, m = jax.lax.cond(
+            is_gen,
+            lambda st: gen_step(st, xb, z_rand, ks, lr),
+            lambda st: discrim_step(st, xb, z_rand, ks, lr),
+            state,
+        )
+        if guard_acc is not None:
+            ema = guard_ema_update(ema, is_gen, skip_d, m["discrim_acc"])
+        return state, ema, m, is_gen
 
-        (state, rng), (ms, is_gen) = jax.lax.scan(body, (state, rng), jnp.arange(num_batches))
+    def finish(state, rng, ms, is_gen):
         gen_w = is_gen.astype(jnp.float32)
         dis_w = 1.0 - gen_w
         n_gen = jnp.sum(gen_w)
@@ -284,6 +323,42 @@ def make_chunk_step(module, cfg, num_batches, donate=True):
         gen_m = {k: jnp.sum(v * gen_w) / jnp.maximum(n_gen, 1) for k, v in ms.items()}
         dis_m = {k: jnp.sum(v * dis_w) / jnp.maximum(n_dis, 1) for k, v in ms.items()}
         return state, rng, gen_m, dis_m, n_gen
+
+    if guard_acc is None:
+
+        def chunk_step(state, x_chunk, itr0, rng, lr):
+            def body(carry, i):
+                state, rng = carry
+                xb = jax.lax.dynamic_slice_in_dim(x_chunk, i * bs, bs)
+                rng, kz, ks = jax.random.split(rng, 3)
+                z_rand = jax.random.normal(kz, (bs, zdim))
+                state, _, m, is_gen = run_steps(
+                    state, None, i, itr0, xb, z_rand, ks, lr
+                )
+                return (state, rng), (m, is_gen)
+
+            (state, rng), (ms, is_gen) = jax.lax.scan(
+                body, (state, rng), jnp.arange(num_batches)
+            )
+            return finish(state, rng, ms, is_gen)
+
+    else:
+
+        def chunk_step(state, x_chunk, itr0, rng, lr, ema):
+            def body(carry, i):
+                state, rng, ema = carry
+                xb = jax.lax.dynamic_slice_in_dim(x_chunk, i * bs, bs)
+                rng, kz, ks = jax.random.split(rng, 3)
+                z_rand = jax.random.normal(kz, (bs, zdim))
+                state, ema, m, is_gen = run_steps(
+                    state, ema, i, itr0, xb, z_rand, ks, lr
+                )
+                return (state, rng, ema), (m, is_gen)
+
+            (state, rng, ema), (ms, is_gen) = jax.lax.scan(
+                body, (state, rng, ema), jnp.arange(num_batches)
+            )
+            return (*finish(state, rng, ms, is_gen), ema)
 
     donate_args = (0,) if donate else ()
     return jax.jit(chunk_step, donate_argnums=donate_args)

@@ -245,10 +245,108 @@ def test_adaptive_guard_engages_and_disengages():
     assert not g.should_gen(itr + 2) or (itr + 2) % 2 == 0
 
 
+def test_on_device_guard_matches_host_oracle():
+    """The pure on-device guard functions (TS.guard_schedule /
+    TS.guard_ema_update, the ones the guarded chunk program scans with)
+    reproduce the host AdaptiveRatioGuard decision-for-decision and EMA-for-
+    EMA over a 300-step sequence whose D accuracies repeatedly saturate and
+    recover (so the guard engages, decays, probes, and re-engages)."""
+    period, threshold = 2, 0.8
+    rs = np.random.RandomState(11)
+    # blocks of saturated (~1.0) and healthy (~0.5) D accuracies
+    d_acc = np.where(
+        (np.arange(300) // 40) % 2 == 0,
+        rs.uniform(0.95, 1.0, 300),
+        rs.uniform(0.45, 0.55, 300),
+    ).astype(np.float32)
+
+    host = AdaptiveRatioGuard(threshold=threshold, period=period)
+    ema_dev = jnp.float32(TS.GUARD_CHANCE)
+    for itr in range(300):
+        scheduled_gen = jnp.array(itr % period == 0)
+        is_gen, skip_d = TS.guard_schedule(scheduled_gen, ema_dev, threshold)
+        host_gen = host.should_gen(itr)
+        assert bool(is_gen) == host_gen, itr
+        ema_dev = TS.guard_ema_update(ema_dev, is_gen, skip_d, jnp.float32(d_acc[itr]))
+        if not host_gen:
+            host.observe(d_acc[itr])
+        np.testing.assert_allclose(float(ema_dev), host.ema, rtol=0, atol=1e-5)
+
+
+def test_guarded_chunk_faithful_when_threshold_unreachable():
+    """make_chunk_step(guard_acc=1.1) can never engage (accuracy <= 1), so
+    the guarded program must be the faithful alternation BIT-FOR-BIT: same
+    params, same RNG chain, same G count as the unguarded chunk program.
+    Plus the returned EMA follows the oracle's update rule exactly (checked
+    on a 2-step chunk where the single D step's accuracy is recoverable from
+    the averaged metrics)."""
+    m = get_config(TINY)
+    cfg = dict(m.cfg)
+    cfg["batch_size"] = 4
+    nb, lr = 4, 2e-4
+    v = m.init(jax.random.PRNGKey(0))
+    x_chunk = jax.random.normal(jax.random.PRNGKey(7), (nb * 4, 64, 64, 3)) * 0.5
+    rng0 = jax.random.PRNGKey(21)
+
+    s_ref = TS.init_train_state(m, v, cfg)
+    s_ref, rng_ref, _, _, n_gen_ref = TS.make_chunk_step(m, cfg, nb, donate=False)(
+        s_ref, x_chunk, 0, rng0, lr
+    )
+
+    s_g = TS.init_train_state(m, v, cfg)
+    s_g, rng_g, _, _, n_gen_g, ema = TS.make_chunk_step(
+        m, cfg, nb, donate=False, guard_acc=1.1
+    )(s_g, x_chunk, 0, rng0, lr, jnp.float32(TS.GUARD_CHANCE))
+
+    assert float(n_gen_g) == float(n_gen_ref) == 2.0
+    np.testing.assert_array_equal(np.asarray(rng_g), np.asarray(rng_ref))
+    for part in ("gen", "latent", "discrim", "state"):
+        for k in s_ref["parts"][part]:
+            np.testing.assert_array_equal(
+                np.asarray(s_g["parts"][part][k]),
+                np.asarray(s_ref["parts"][part][k]),
+                err_msg=f"{part}/{k}",
+            )
+    assert 0.0 <= float(ema) <= 1.0
+
+    # EMA formula: a 2-step chunk runs exactly one D step, whose accuracy IS
+    # the averaged dis_m -- so the returned EMA must be one oracle update.
+    s2 = TS.init_train_state(m, v, cfg)
+    _, _, _, dis_m, _, ema2 = TS.make_chunk_step(m, cfg, 2, donate=False, guard_acc=1.1)(
+        s2, x_chunk[: 2 * 4], 0, rng0, lr, jnp.float32(TS.GUARD_CHANCE)
+    )
+    want = TS.GUARD_DECAY * TS.GUARD_CHANCE + (1 - TS.GUARD_DECAY) * float(
+        dis_m["discrim_acc"]
+    )
+    np.testing.assert_allclose(float(ema2), want, rtol=0, atol=1e-6)
+
+
+def test_guarded_chunk_skips_all_d_when_threshold_zero():
+    """make_chunk_step(guard_acc=0.0) engages immediately (EMA starts at
+    chance > 0): every scheduled D slot trains G instead, and the EMA stays
+    pinned at chance (the skip decay's fixed point)."""
+    m = get_config(TINY)
+    cfg = dict(m.cfg)
+    cfg["batch_size"] = 4
+    nb = 4
+    v = m.init(jax.random.PRNGKey(0))
+    x_chunk = jax.random.normal(jax.random.PRNGKey(7), (nb * 4, 64, 64, 3)) * 0.5
+    state = TS.init_train_state(m, v, cfg)
+    state, _, _, _, n_gen, ema = TS.make_chunk_step(m, cfg, nb, donate=False, guard_acc=0.0)(
+        state, x_chunk, 0, jax.random.PRNGKey(21), 2e-4, jnp.float32(TS.GUARD_CHANCE)
+    )
+    assert float(n_gen) == float(nb)
+    np.testing.assert_allclose(float(ema), TS.GUARD_CHANCE, rtol=0, atol=1e-7)
+    # D never ran: its params are untouched
+    s0 = TS.init_train_state(m, v, cfg)
+    assert _l2_delta(state["parts"]["discrim"], s0["parts"]["discrim"]) == 0
+
+
 def test_adaptive_ratio_train_integration(tmp_path):
-    """The host-loop adaptive path in training.train runs end-to-end with a
-    tiny profile (the faithful path uses the chunk program instead; this is
-    the only fast exercise of the per-step host loop)."""
+    """The adaptive path in training.train runs end-to-end with a tiny
+    profile -- since round 5 the guard runs ON-DEVICE inside the chunk
+    program (EMA threaded through the scan), so this exercises the guarded
+    chunk signature plus the d_steps_skipped metric plumbing."""
     from npe_tpu.training.train import train
 
     train(
