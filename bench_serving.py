@@ -87,11 +87,13 @@ def main():
     p.add_argument("--n", type=int, default=200, help="sequential requests per op")
     p.add_argument("--load", type=int, default=256, help="concurrent requests for the throughput leg (0 = skip)")
     p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--wire", default="float32", choices=["float32", "uint8"],
+                   help="image payload dtype over the host<->device link")
     a = p.parse_args()
 
     from npe_tpu.serving import InferenceServer
 
-    server = InferenceServer(config=a.model, max_batch=a.max_batch)
+    server = InferenceServer(config=a.model, max_batch=a.max_batch, wire=a.wire)
     zdim = server.module.cfg["num_latents"]
     img = np.zeros((1, 64, 64, 3), np.float32)
     z = np.zeros((1, zdim), np.float32)
@@ -108,6 +110,7 @@ def main():
 
     out = {
         "model": a.model,
+        "wire": a.wire,
         "n": a.n,
         "encode_ms": {"p50": enc_p50 * 1e3, "p95": enc_p95 * 1e3},
         "decode_ms": {"p50": dec_p50 * 1e3, "p95": dec_p95 * 1e3},

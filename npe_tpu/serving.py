@@ -35,6 +35,19 @@ Multi-model hosting: `ModelHost` runs several named InferenceServers in one
 process (one dispatcher each -- per-model FIFO, shared device). The HTTP
 transport routes /<model>/encode|decode, plus default-model /encode|/decode
 and GET /models.
+
+Wire format: with `wire="uint8"` image payloads cross the host<->device
+link as uint8 (4x fewer bytes than float32) -- encode inputs are quantized
+to the [0,255] grid on the host and cast+to_tanh'd on device; decode
+outputs are quantized to uint8 ON DEVICE and dequantized on the host, so
+the public API still speaks float32 [-1,1]. bench_serving measured the
+f32 batch payload as the dominant client-latency term through the remote
+tunnel (BENCHMARKS.md round-5 serving section), and uint8 is already the
+framework's storage/display format (data staging ships uint8 chunks,
+`ops/pallas/staging.py`; the editor quantizes RECON to uint8,
+`editor/engine.py`). Lossless for inputs that came from uint8 images;
+otherwise adds at most one 1/255-of-range quantization step per direction.
+Default stays "float32" (exact).
 """
 
 import queue
@@ -59,6 +72,7 @@ class InferenceServer:
         linger_ms=2.0,
         dtype=None,
         seed=0,
+        wire="float32",
     ):
         self.module = get_config(config)
         if variables is None:
@@ -74,16 +88,34 @@ class InferenceServer:
         self.variables = variables
         self.max_batch = max_batch
         self.linger = linger_ms / 1000.0
+        if wire not in ("float32", "uint8"):
+            raise ValueError(f"wire must be 'float32' or 'uint8', got {wire!r}")
+        self.wire = wire
         mod = self.module
         in_dtype = dtype or jnp.float32
 
-        @jax.jit
-        def _encode(v, x):
-            return mod.encode(v, x.astype(in_dtype)).astype(jnp.float32)
+        if wire == "uint8":
+            from npe_tpu.utils.ranges import from_tanh, to_tanh
 
-        @jax.jit
-        def _decode(v, z):
-            return mod.decode(v, z.astype(in_dtype)).astype(jnp.float32)
+            @jax.jit
+            def _encode(v, x_u8):
+                x = to_tanh(x_u8.astype(jnp.float32))
+                return mod.encode(v, x.astype(in_dtype)).astype(jnp.float32)
+
+            @jax.jit
+            def _decode(v, z):
+                y = mod.decode(v, z.astype(in_dtype)).astype(jnp.float32)
+                return jnp.clip(jnp.round(from_tanh(y)), 0.0, 255.0).astype(jnp.uint8)
+
+        else:
+
+            @jax.jit
+            def _encode(v, x):
+                return mod.encode(v, x.astype(in_dtype)).astype(jnp.float32)
+
+            @jax.jit
+            def _decode(v, z):
+                return mod.decode(v, z.astype(in_dtype)).astype(jnp.float32)
 
         self._kernels = {"encode": _encode, "decode": _decode}
         # per-op EMA of kernel wall time; None until the op's program is warm
@@ -110,8 +142,20 @@ class InferenceServer:
         bounds QUEUE time: a request not dispatched by then fails with
         TimeoutError rather than occupying batch slots. `slo` (seconds) is a
         total-latency target: the batcher stops aggregating early rather than
-        linger past it (best effort -- kernel time itself is a floor)."""
-        return self._submit("encode", np.asarray(images_nhwc, np.float32), timeout, slo)
+        linger past it (best effort -- kernel time itself is a floor).
+
+        Under wire='uint8' a uint8 [0,255] array is accepted as-is (zero
+        conversion cost); float input is quantized to that grid HERE, on the
+        caller's thread, so the dispatcher thread never serializes on it."""
+        arr = np.asarray(images_nhwc)
+        if self.wire == "uint8":
+            if arr.dtype != np.uint8:
+                from npe_tpu.utils.ranges import from_tanh
+
+                arr = np.clip(np.round(from_tanh(np.float32(arr))), 0.0, 255.0).astype(np.uint8)
+        else:
+            arr = np.asarray(arr, np.float32)
+        return self._submit("encode", arr, timeout, slo)
 
     def decode(self, z, timeout=None, slo=None):
         """(n, zdim) -> Future of (n, 64, 64, 3)."""
@@ -217,7 +261,12 @@ class InferenceServer:
         if n < self.max_batch:
             pad = np.zeros((self.max_batch - n, *batch.shape[1:]), batch.dtype)
             batch = np.concatenate([batch, pad])
-        return np.asarray(self._kernels[op](self.variables, jnp.asarray(batch)))[:n]
+        out = np.asarray(self._kernels[op](self.variables, jnp.asarray(batch)))[:n]
+        if self.wire == "uint8" and op == "decode":
+            from npe_tpu.utils.ranges import to_tanh
+
+            out = to_tanh(np.float32(out))
+        return out
 
     def _loop(self):
         while not self._stop.is_set():
@@ -414,6 +463,13 @@ def main():
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--linger-ms", type=float, default=2.0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument(
+        "--wire",
+        default="float32",
+        choices=["float32", "uint8"],
+        help="image payload dtype over the host<->device link (uint8 = 4x "
+        "fewer bytes; see module docstring)",
+    )
     a = p.parse_args()
     dtype = jnp.bfloat16 if a.bf16 else None
 
@@ -432,6 +488,7 @@ def main():
                     max_batch=a.max_batch,
                     linger_ms=a.linger_ms,
                     dtype=dtype,
+                    wire=a.wire,
                 ),
             )
         what = ", ".join(sorted(server.servers))
@@ -442,6 +499,7 @@ def main():
             max_batch=a.max_batch,
             linger_ms=a.linger_ms,
             dtype=dtype,
+            wire=a.wire,
         )
         what = a.config
     httpd = serve_http(server, port=a.port)

@@ -205,3 +205,66 @@ def test_multi_model_host_http():
     finally:
         httpd.shutdown()
         host.close()
+
+
+def test_uint8_wire_roundtrip():
+    """wire='uint8' ships image payloads as uint8 but keeps the float32
+    [-1,1] public API. For inputs already on the uint8 grid the encode path
+    is LOSSLESS vs the f32 wire; decode output equals the direct decode
+    quantized to the grid (max error one 1/255 step of the range)."""
+    from npe_tpu.serving import InferenceServer
+    from npe_tpu.utils.ranges import from_tanh, to_tanh
+
+    s = InferenceServer(config="IAN_simple", max_batch=4, linger_ms=2.0, seed=0, wire="uint8")
+    try:
+        rng = np.random.RandomState(7)
+        u8 = rng.randint(0, 256, size=(3, 64, 64, 3)).astype(np.uint8)
+        x = to_tanh(np.float32(u8))  # grid-aligned client input
+
+        z = s.encode(x).result(timeout=120)
+        direct_z = np.asarray(s.module.encode(s.variables, x))
+        np.testing.assert_allclose(z, direct_z, rtol=1e-4, atol=1e-5)
+
+        imgs = s.decode(z).result(timeout=120)
+        assert imgs.dtype == np.float32 and imgs.shape == (3, 64, 64, 3)
+        direct_y = np.asarray(s.module.decode(s.variables, z))
+        # equals the host-side quantization of the direct result ...
+        expect = to_tanh(np.float32(np.clip(np.round(from_tanh(direct_y)), 0, 255)))
+        np.testing.assert_allclose(imgs, expect, rtol=0, atol=1e-6)
+        # ... which is within one quantization step of the raw decode
+        assert np.max(np.abs(imgs - direct_y)) <= 2.0 / 255.0 + 1e-6
+        # and the wire really was uint8-sized payloads end to end
+        assert s.wire == "uint8"
+    finally:
+        s.close()
+
+
+def test_uint8_wire_tail_padding_and_split():
+    """uint8 wire with a padded tail and an oversize group behaves like f32."""
+    from npe_tpu.serving import InferenceServer
+
+    s = InferenceServer(config="IAN_simple", max_batch=4, linger_ms=2.0, seed=0, wire="uint8")
+    try:
+        z = np.random.RandomState(8).randn(10, 100).astype(np.float32)  # > max_batch
+        out = s.decode(z).result(timeout=240)
+        assert out.shape == (10, 64, 64, 3)
+        direct = np.asarray(s.module.decode(s.variables, z[:3]))
+        assert np.max(np.abs(out[:3] - direct)) <= 2.0 / 255.0 + 1e-6
+    finally:
+        s.close()
+
+
+def test_uint8_wire_accepts_raw_uint8_input():
+    """A uint8 [0,255] image array is accepted as-is (zero-conversion fast
+    path) and yields exactly the same z as the equivalent float32 input."""
+    from npe_tpu.serving import InferenceServer
+    from npe_tpu.utils.ranges import to_tanh
+
+    s = InferenceServer(config="IAN_simple", max_batch=4, linger_ms=2.0, seed=0, wire="uint8")
+    try:
+        u8 = np.random.RandomState(9).randint(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+        z_u8 = s.encode(u8).result(timeout=120)
+        z_f32 = s.encode(to_tanh(np.float32(u8))).result(timeout=120)
+        np.testing.assert_array_equal(z_u8, z_f32)
+    finally:
+        s.close()
